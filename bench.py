@@ -1,0 +1,64 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced to full execution with a count-style noop write
+(``df.write.format("noop")``), which executes the whole plan without
+driver-side materialization — the honest way to time a distributed plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "flat_export",
+    "pricing_summary",
+    "first_last_durations",
+    "time_window_halfopen",
+    "customers_with_open_orders",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from open_bus_stride_etl_spark.plans import registry
+    from open_bus_stride_etl_spark.session import build_session
+
+    spark = build_session("bench")
+    qs = registry.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in sorted(qs) if n not in HEADLINE
+    ]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Tiered banded interval join ("match within ±N minutes, tightest tier
+wins") — the hardest operator in the reference.
+
+Reference: /root/reference/open_bus_stride_etl/siri/update_rides_gtfs.py
+:12-28 matches a SIRI ride to a GTFS ride when ``scheduled_start_time``
+falls within ``start_time ± N minutes``; :80-97 tries N = 1, 3, 5 as
+sequential UPDATEs where later tiers only touch still-unmatched rows
+(first-match-wins priority).
+
+Spark-first re-expression: ONE join + ONE window function instead of
+three sequential passes. Priority = ``row_number() OVER (PARTITION BY
+left_key ORDER BY tier, |Δt|, right_id) = 1``.
+
+Scale design (the part that matters at 100 TB): a naive interval join is
+a cartesian-ish theta join — quadratic. We convert it to an EQUI-join by
+bucketing both sides into time bins of width = the widest tolerance, and
+joining on ``(bin, bin±1)`` (each left row joins at most 3 bins, because
+|Δt| ≤ binWidth means the right row's bin differs by at most 1). Catalyst
+then executes a plain shuffled/broadcast hash join on the bin key; the
+residual |Δt| ≤ tolerance predicate filters inside the join. Work drops
+from O(n·m) to O(n·k) where k is the per-bin occupancy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def banded_priority_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    tiers_minutes: list[int],
+    left_id: str,
+    right_id: str,
+    extra_eq_keys: list[str] | None = None,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """For each left row, the single best right row: smallest tier whose
+    band contains it, then smallest |Δt|, then smallest right id.
+
+    Returns all left columns plus ``matched_<right_id>``, ``tier``
+    (minutes of the winning tolerance) and ``dt_seconds``. Unmatched left
+    rows are kept with NULLs (left outer semantics, like the reference's
+    guarded UPDATEs which leave unmatched rows untouched).
+    """
+    tiers = sorted(tiers_minutes)
+    widest_s = tiers[-1] * 60
+    eq = extra_eq_keys or []
+
+    lt = F.col(f"l.{left_ts}")
+    rt = F.col(f"r.{right_ts}")
+
+    l_binned = left.withColumn("_bin", (F.unix_timestamp(F.col(left_ts)) / widest_s).cast("long"))
+    # Each right row is replicated to its own bin and both neighbors, so
+    # the band condition becomes a pure equi-join on _bin. 3x replication
+    # of the (small) dimension side is the standard range-join trick.
+    r_binned = (
+        right.withColumn("_b0", (F.unix_timestamp(F.col(right_ts)) / widest_s).cast("long"))
+        .withColumn("_bin", F.explode(F.array(F.col("_b0") - 1, F.col("_b0"), F.col("_b0") + 1)))
+        .drop("_b0")
+    )
+    if broadcast_right:
+        r_binned = F.broadcast(r_binned)
+
+    dt = F.abs(F.unix_timestamp(lt) - F.unix_timestamp(rt))
+    cond = (F.col("l._bin") == F.col("r._bin")) & (dt <= F.lit(widest_s))
+    for k in eq:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+
+    # Tier = the tightest tolerance that admits this pair.
+    tier_expr = F.lit(None).cast("int")
+    for t in reversed(tiers):
+        tier_expr = F.when(dt <= F.lit(t * 60), F.lit(t)).otherwise(tier_expr)
+
+    pairs = (
+        left.alias("l")
+        .join(r_binned.alias("r"), cond, "inner")
+        .where(tier_expr.isNotNull())
+        .select(
+            *[F.col(f"l.{c}") for c in left.columns],
+            F.col(f"r.{right_id}").alias(f"matched_{right_id}"),
+            tier_expr.alias("tier"),
+            dt.cast("long").alias("dt_seconds"),
+        )
+        # The ±1-bin replication can produce the same (left, right) pair
+        # twice when a right row's home bin and neighbor bin both match;
+        # dedup before ranking.
+        .dropDuplicates([left_id, f"matched_{right_id}"])
+    )
+
+    w = Window.partitionBy(left_id).orderBy(
+        F.col("tier").asc(), F.col("dt_seconds").asc(), F.col(f"matched_{right_id}").asc()
+    )
+    best = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # Left-outer: keep unmatched left rows with NULL match columns.
+    return left.join(
+        best.select(left_id, f"matched_{right_id}", "tier", "dt_seconds"),
+        on=left_id,
+        how="left",
+    )

@@ -1,0 +1,214 @@
+"""Query registry: every implemented operator exposed as a named query
+``(spark, sf_dir) -> DataFrame`` plus a matching ANSI-SQL oracle string
+for DuckDB. This is the correctness gate (SURVEY.md §5): each SURVEY §2
+operator is exercised on the shared deterministic test tables and must
+hash-match the oracle.
+
+Engine-portability rules used throughout (so Spark and DuckDB produce
+bit-identical values):
+- Money/quantity aggregates use exact integer arithmetic (cents as
+  BIGINT); any float division happens once, on identical integers.
+- Timestamps stay UTC instants end to end (session tz UTC).
+- Ratios are reported in integer basis points.
+- Hashes are md5-based (both engines implement standard md5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.lake import load_table
+from .flat_join import flat_export
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Flagship: denormalizing flat export (SURVEY §2 P1/J1/J7)
+# ---------------------------------------------------------------------------
+
+query(
+    "flat_export",
+    """
+    SELECT l.l_orderkey AS orderkey, l.l_linenumber AS linenumber,
+           l.l_quantity AS quantity, l.l_extendedprice AS extendedprice,
+           l.l_discount AS discount, l.l_returnflag AS returnflag,
+           l.l_linestatus AS linestatus, l.l_shipdate AS shipdate,
+           o.o_orderstatus AS orderstatus, o.o_totalprice AS totalprice,
+           o.o_orderdate AS orderdate, o.o_orderpriority AS orderpriority,
+           c.c_name AS customer_name, c.c_mktsegment AS mktsegment,
+           s.s_name AS supplier_name, p.p_name AS part_name,
+           p.p_brand AS brand, p.p_type AS part_type,
+           n.n_name AS nation_name, r.r_name AS region_name
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)(flat_export)
+
+
+# ---------------------------------------------------------------------------
+# A1/A2: grouped + conditional aggregation (TPC-H Q1 shape)
+# Reference analog: per-(day, route) batching groups, siri/common.py:20-26.
+# ---------------------------------------------------------------------------
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_c,
+           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) * CAST(ROUND(l_discount * 100) AS BIGINT)) AS sum_qty_disc,
+           COUNT(*) AS n_rows,
+           COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_high_disc
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.where(F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty_c).alias("sum_qty_c"),
+            F.sum(price_c).alias("sum_price_c"),
+            F.sum(qty_c * disc_c).alias("sum_qty_disc"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_high_disc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4/W1/F7: first/last event per group + duration (add_ride_durations core)
+# NULL ordering keys must be ignored (NULLS LAST): error events get a NULL
+# ts to exercise it, mirroring rides whose locations lack recorded_at_time.
+# ---------------------------------------------------------------------------
+
+@query(
+    "first_last_durations",
+    """
+    WITH e AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE ts END AS ts_n
+      FROM events
+    ), r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts_n ASC NULLS LAST, event_id ASC) AS rn_f,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts_n DESC NULLS LAST, event_id DESC) AS rn_l
+      FROM e
+    )
+    SELECT user_id,
+           MAX(CASE WHEN rn_f = 1 AND ts_n IS NOT NULL THEN event_id END) AS first_event_id,
+           MAX(CASE WHEN rn_l = 1 AND ts_n IS NOT NULL THEN event_id END) AS last_event_id,
+           MIN(ts_n) AS first_ts,
+           MAX(ts_n) AS last_ts,
+           CAST(ROUND(CAST(date_diff('second', MIN(ts_n), MAX(ts_n)) AS DOUBLE) / 60.0) AS BIGINT) AS duration_minutes,
+           COUNT(*) AS n_rows
+    FROM r GROUP BY user_id
+    """,
+)
+def first_last_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_n", F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("ts"))
+    )
+    okey = F.when(F.col("ts_n").isNotNull(), F.struct(F.col("ts_n"), F.col("event_id")))
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_id", okey).alias("first_event_id"),
+        F.max_by("event_id", okey).alias("last_event_id"),
+        F.min("ts_n").alias("first_ts"),
+        F.max("ts_n").alias("last_ts"),
+        F.round((F.unix_timestamp(F.max("ts_n")) - F.unix_timestamp(F.min("ts_n"))) / 60.0)
+        .cast("long")
+        .alias("duration_minutes"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2: half-open time-window predicate (packagers/siri.py:62-63)
+# ---------------------------------------------------------------------------
+
+@query(
+    "time_window_halfopen",
+    """
+    SELECT event_id, ts, user_id, event_type
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+    """,
+)
+def time_window_halfopen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    lo = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    hi = F.lit("2024-01-11 00:00:00").cast("timestamp")
+    return ev.where((F.col("ts") >= lo) & (F.col("ts") < hi)).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9/J10: anti-join and semi-join (ledger "missing dates" shape)
+# ---------------------------------------------------------------------------
+
+@query(
+    "customers_without_orders",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "customers_with_open_orders",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+)
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select("c_custkey", "c_name")
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

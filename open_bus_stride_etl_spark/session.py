@@ -1,0 +1,71 @@
+"""SparkSession bootstrap and defensive per-session configuration.
+
+The reference delegates all execution to PostgreSQL; here the equivalent
+"engine setup" is a SparkSession tuned for large-scale batch analytics:
+AQE on (runtime re-planning, skew-join splitting), Arrow on (fast
+pandas/UDF exchange), UTC session timezone (the reference stores UTC and
+converts to Asia/Jerusalem only at export boundaries — see
+/root/reference/open_bus_stride_etl/common.py:12-21).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs applied even to externally-created sessions
+# (e.g. the verification driver's). nanosAsLong is required because the
+# shared test parquet stores TIMESTAMP(NANOS), which Spark's parquet
+# reader refuses by default.
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Some confs may be static on exotic builds; reads that need
+            # them will raise a clear error of their own.
+            pass
+    return spark
+
+
+def build_session(
+    app_name: str = "open-bus-stride-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Create (or reuse) a tuned local session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (all cores if the
+    env var is unset). ``shuffle_partitions`` defaults to the core count:
+    at the test scale there is no reason to over-partition; a real
+    cluster deployment sets this to 2-3x total cores (or relies on AQE
+    coalescing, which is enabled).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return configure(builder.getOrCreate())

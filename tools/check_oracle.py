@@ -1,0 +1,113 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every query in ``__spark_entry__.queries()`` on Spark and its
+``oracle_sql()`` twin on DuckDB at the given scale factor, then compares
+row count, sorted column names, and cell values (rows sorted by their
+full canonical string form — order-insensitive, like the driver's
+value-hash). Exact equality is required; any float drift shows up here
+before the driver sees it.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+
+def canon(v):
+    if v is None:
+        return "\x00"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from open_bus_stride_etl_spark.session import build_session
+
+    spark = build_session("oracle-check")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings".split()
+    ):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sorted(sdf.columns)
+            s_rows = sdf.collect()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only (no oracle), {len(s_rows)} rows "
+                  f"[{time.time()-t0:.1f}s]")
+            n_pass += 1
+            continue
+        try:
+            o = con.execute(oracles[name])
+            o_cols = sorted(d[0] for d in o.description)
+            o_rows = o.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(s_rows) != len(o_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duckdb={len(o_rows)}")
+        if s_cols != o_cols:
+            problems.append(f"columns spark={s_cols} duckdb={o_cols}")
+        if not problems:
+            s_sorted = sorted(
+                [tuple(canon(r[c]) for c in s_cols) for r in s_rows]
+            )
+            o_name_idx = {d[0]: i for i, d in enumerate(o.description)}
+            o_sorted = sorted(
+                [tuple(canon(r[o_name_idx[c]]) for c in o_cols) for r in o_rows]
+            )
+            if s_sorted != o_sorted:
+                bad = sum(1 for a, b in zip(s_sorted, o_sorted) if a != b)
+                problems.append(f"values differ in ~{bad}/{len(s_sorted)} sorted rows")
+                for a, b in list(zip(s_sorted, o_sorted))[:2000]:
+                    if a != b:
+                        print(f"  spark : {a}\n  duckdb: {b}")
+                        break
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
