@@ -15,9 +15,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def hex_to_long(hex15: Column) -> Column:
-    """First 15 hex chars -> non-negative bigint (< 2^60, no overflow)."""
-    return F.conv(hex15, 16, 10).cast("long")
+def hex_to_long(hexstr: Column) -> Column:
+    """Hex chars -> non-negative bigint. Use <= 10 hex chars (2^40) for
+    values that will be SUMmed: a 2^40-bounded term keeps a bigint sum
+    exact up to ~8M rows per aggregation and safely off int64 overflow
+    (engines disagree on overflow: Spark wraps, DuckDB widens to hugeint)."""
+    return F.conv(hexstr, 16, 10).cast("long")
 
 
 def row_md5(*cols: Column) -> Column:
@@ -33,6 +36,6 @@ def content_hash_agg(df: DataFrame, cols: list[str] | None = None) -> int:
     md5-longs. One number per dataset; identical across re-runs and
     partitionings. Used by the idempotent publish protocol."""
     cols = cols or df.columns
-    h = hex_to_long(F.substring(row_md5(*[F.col(c) for c in cols]), 1, 15))
+    h = hex_to_long(F.substring(row_md5(*[F.col(c) for c in cols]), 1, 10))
     row = df.agg(F.sum(h).alias("h"), F.count(F.lit(1)).alias("n")).collect()[0]
     return (row["h"] or 0) + row["n"]

@@ -43,7 +43,5 @@ def nearest_by_distance(
     okey = F.struct(F.col("_dist"), F.col(id_col))
     return valid.groupBy(group_col).agg(
         F.min_by(F.col(id_col), okey).alias(f"nearest_{id_col}"),
-        F.round(F.min(F.struct(F.col("_dist"), F.col(id_col)))["_dist"]).cast("long").alias(
-            "distance_meters"
-        ),
+        F.round(F.min("_dist")).cast("long").alias("distance_meters"),
     )

@@ -76,7 +76,7 @@ def banded_priority_join(
         tier_expr = F.when(dt <= F.lit(t * 60), F.lit(t)).otherwise(tier_expr)
 
     pairs = (
-        left.alias("l")
+        l_binned.alias("l")
         .join(r_binned.alias("r"), cond, "inner")
         .where(tier_expr.isNotNull())
         .select(

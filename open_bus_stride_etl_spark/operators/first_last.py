@@ -29,20 +29,24 @@ def first_last_by(
     group_col: str,
     order_col: str,
     payload_cols: list[str],
-    tie_col: str | None = None,
+    tie_cols: list[str] | str | None = None,
 ) -> DataFrame:
     """Per ``group_col``: the payload of the first and last row by
     ``order_col`` (NULL ordering values ignored), plus min/max of the
-    ordering column itself. Ties broken deterministically by ``tie_col``.
+    ordering column itself. Ties broken deterministically by ``tie_cols``
+    — pass enough columns to pin a unique row, or each per-column
+    min_by/max_by may pick payload values from *different* tied rows.
 
     Output columns: group_col, first_<p>/last_<p> for each payload col,
     min_<order>, max_<order>, n_rows.
     """
-    tie = F.col(tie_col) if tie_col else F.lit(0)
+    if isinstance(tie_cols, str):
+        tie_cols = [tie_cols]
+    ties = [F.col(t) for t in (tie_cols or [])] or [F.lit(0)]
     # Composite ordering struct => deterministic tiebreak; struct ordering
     # is lexicographic. NULL order_col rows are excluded up front so that
     # min_by/max_by never pick them (NULLS LAST semantics).
-    okey = F.when(F.col(order_col).isNotNull(), F.struct(F.col(order_col), tie))
+    okey = F.when(F.col(order_col).isNotNull(), F.struct(F.col(order_col), *ties))
     aggs: list[Column] = []
     for p in payload_cols:
         aggs.append(F.min_by(F.col(p), okey).alias(f"first_{p}"))
@@ -72,7 +76,7 @@ def ride_durations(
     duration_minutes (int, NULL when not yet finalizable).
     """
     now = now if now is not None else F.current_timestamp()
-    fl = first_last_by(locations, ride_col, ts_col, [id_col], tie_col=id_col)
+    fl = first_last_by(locations, ride_col, ts_col, [id_col], tie_cols=id_col)
     first_ts = F.col(f"min_{ts_col}")
     last_ts = F.col(f"max_{ts_col}")
     settled = last_ts < (now - F.expr(f"INTERVAL {settle_hours} HOURS"))

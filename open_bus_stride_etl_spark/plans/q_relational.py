@@ -1,0 +1,487 @@
+"""M1 operator-parity queries: filters, joins, aggregations, windows,
+sorts, set ops (SURVEY.md §2.2-2.7). Each maps one reference operator to
+its Spark-native form, with a DuckDB oracle twin.
+
+Engine-portability notes: see plans/registry.py module docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.ledger import missing_dates
+from ..sources.lake import load_table
+from .registry import query
+
+
+# --- P3: inclusive date-window (add_ride_durations.py:87-107 is inclusive
+#     of the max bound, unlike the half-open packager window) ---------------
+
+@query(
+    "date_window_inclusive",
+    """
+    SELECT event_id, ts, user_id
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts <= TIMESTAMP '2024-01-07 00:00:00'
+    """,
+)
+def date_window_inclusive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    lo = F.lit("2024-01-05 00:00:00").cast("timestamp")
+    hi = F.lit("2024-01-07 00:00:00").cast("timestamp")
+    return ev.where((F.col("ts") >= lo) & (F.col("ts") <= hi)).select(
+        "event_id", "ts", "user_id"
+    )
+
+
+# --- P4: IS NULL "unprocessed" marker (siri/add_ride_durations.py:141).
+#     The marker is synthesized (error events get NULL) since the test
+#     tables have no nullable enrichment column. --------------------------
+
+@query(
+    "null_marker_todo",
+    """
+    SELECT event_id, user_id, event_type
+    FROM (SELECT *, CASE WHEN event_type = 'error' THEN NULL ELSE ts END AS processed_at
+          FROM events)
+    WHERE processed_at IS NULL
+    """,
+)
+def null_marker_todo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "processed_at",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("ts")),
+    )
+    return ev.where(F.col("processed_at").isNull()).select("event_id", "user_id", "event_type")
+
+
+# --- P5: LIKE prefix filter (stats/api.py:52 snapshot_id LIKE 'date/%') ---
+
+@query(
+    "like_prefix",
+    """
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE source LIKE 'src1%' AND text LIKE '%join%'
+    """,
+)
+def like_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.where(F.col("source").like("src1%") & F.col("text").like("%join%")).select(
+        "doc_id", "source", "lang"
+    )
+
+
+# --- P6: enum inequality filter (stats/api.py:20-22 etl_status != pending) -
+
+@query(
+    "enum_neq_counts",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders WHERE o_orderstatus <> 'O'
+    GROUP BY o_orderstatus
+    """,
+)
+def enum_neq_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderstatus") != "O")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- P9: bbox spatial filter (urbanaccess areas.yaml bboxes). Lat/lon are
+#     derived deterministically from event columns; fmod is exact in IEEE
+#     so both engines agree bit-for-bit. ----------------------------------
+
+@query(
+    "bbox_filter",
+    """
+    SELECT event_id,
+           fmod(abs(value), 90.0) AS lat,
+           fmod(abs(value) * 3.7, 360.0) - 180.0 AS lon
+    FROM events
+    WHERE fmod(abs(value), 90.0) BETWEEN 10.0 AND 40.0
+      AND (fmod(abs(value) * 3.7, 360.0) - 180.0) BETWEEN -60.0 AND 60.0
+    """,
+)
+def bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    lat = F.abs(F.col("value")) % 90.0
+    lon = (F.abs(F.col("value")) * 3.7) % 360.0 - 180.0
+    return (
+        ev.select(F.col("event_id"), lat.alias("lat"), lon.alias("lon"))
+        .where(F.col("lat").between(10.0, 40.0) & F.col("lon").between(-60.0, 60.0))
+    )
+
+
+# --- J2: multi-key equi-join (update_rides_gtfs.py:18-19 joins on
+#     operator_ref AND line_ref) ------------------------------------------
+
+@query(
+    "multikey_join",
+    """
+    WITH a AS (SELECT user_id, event_type, COUNT(*) AS n_all
+               FROM events GROUP BY user_id, event_type),
+         b AS (SELECT user_id, event_type, COUNT(*) AS n_big
+               FROM events WHERE value > 100 GROUP BY user_id, event_type)
+    SELECT a.user_id, a.event_type, a.n_all, b.n_big
+    FROM a JOIN b ON a.user_id = b.user_id AND a.event_type = b.event_type
+    """,
+)
+def multikey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n_all"))
+    b = (
+        ev.where(F.col("value") > 100)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    return a.join(b, on=["user_id", "event_type"], how="inner")
+
+
+# --- J3: equi-join on business code against a date-versioned dimension
+#     (update_ride_stops_gtfs.py:30-31: gtfs_stop.code = siri_stop.code AND
+#     gtfs_stop.date = ride date). The "dim" here is a per-(user, day)
+#     aggregate joined back on both keys. ---------------------------------
+
+@query(
+    "code_date_dim_join",
+    """
+    WITH dim AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS day_value_c
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS d, dim.day_value_c
+    FROM events e
+    JOIN dim ON dim.user_id = e.user_id AND dim.d = CAST(e.ts AS DATE)
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def code_date_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("day_value_c"))
+    fact = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.to_date("ts").alias("d")
+    )
+    return fact.join(dim, on=["user_id", "d"], how="inner").select(
+        "event_id", "user_id", "d", "day_value_c"
+    )
+
+
+# --- J5: exact-timestamp equi-join (update_rides_gtfs.py:30-44 matches
+#     scheduled_start_time = gtfs_ride.start_time), at minute granularity -
+
+@query(
+    "exact_ts_join",
+    """
+    SELECT e1.event_id AS click_id, e2.event_id AS purchase_id,
+           date_trunc('minute', e1.ts) AS minute
+    FROM events e1
+    JOIN events e2
+      ON date_trunc('minute', e1.ts) = date_trunc('minute', e2.ts)
+     AND e1.event_type = 'click' AND e2.event_type = 'purchase'
+    """,
+)
+def exact_ts_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e1 = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.date_trunc("minute", "ts").alias("minute")
+    )
+    e2 = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.date_trunc("minute", "ts").alias("minute")
+    )
+    return e1.join(e2, on="minute", how="inner").select("click_id", "purchase_id", "minute")
+
+
+# --- J7: left join with compound band condition (packagers/siri.py:57-60) -
+
+@query(
+    "left_band_join",
+    """
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS total_c
+    FROM customer c
+    LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey
+     AND o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY c.c_custkey
+    """,
+)
+def left_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (
+        (F.col("o.o_custkey") == F.col("c.c_custkey"))
+        & (F.col("o.o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o.o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        c.alias("c")
+        .join(o.alias("o"), cond, "left")
+        .groupBy("c.c_custkey")
+        .agg(
+            F.count("o.o_orderkey").alias("n_orders"),
+            F.sum(F.round(F.col("o.o_totalprice") * 100).cast("long")).alias("total_c"),
+        )
+    )
+
+
+# --- J11/A7: scalar-subquery cross join — two single-row counts combined
+#     into a ratio (gtfs/update_ride_aggregations.py:60-74 completeness %) -
+
+@query(
+    "completeness_ratio",
+    """
+    SELECT CAST(ROUND(10000.0 * a.n / b.n) AS BIGINT) AS pct_bp, a.n AS n_complete, b.n AS n_all
+    FROM (SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > 150000) a,
+         (SELECT COUNT(*) AS n FROM orders) b
+    """,
+)
+def completeness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_totalprice") > 150000).agg(F.count(F.lit(1)).alias("n_complete"))
+    b = o.agg(F.count(F.lit(1)).alias("n_all"))
+    return a.crossJoin(b).select(
+        F.round(10000.0 * F.col("n_complete") / F.col("n_all"))
+        .cast("long")
+        .alias("pct_bp"),
+        "n_complete",
+        "n_all",
+    )
+
+
+# --- A2: group by day x key (siri/common.py:20-26 drives per-(date, route)
+#     processing; the loop becomes one aggregation) ------------------------
+
+@query(
+    "group_day_type",
+    """
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_c
+    FROM events GROUP BY CAST(ts AS DATE), event_type
+    """,
+)
+def group_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
+    )
+
+
+# --- A3: min/max id of a window (add_ride_durations.py:119-124 keyset
+#     cursor bounds) --------------------------------------------------------
+
+@query(
+    "window_id_bounds",
+    """
+    SELECT MIN(event_id) AS min_id, MAX(event_id) AS max_id, COUNT(*) AS n
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
+def window_id_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    lo = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    hi = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return ev.where((F.col("ts") >= lo) & (F.col("ts") < hi)).agg(
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- A9: per-hour min/max/count (packagers/siri.py:460-482 hour report) ---
+
+@query(
+    "hourly_minmax",
+    """
+    SELECT date_trunc('hour', ts) AS hour,
+           MIN(ts) AS min_ts, MAX(ts) AS max_ts, COUNT(*) AS n
+    FROM events GROUP BY date_trunc('hour', ts)
+    """,
+)
+def hourly_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# --- A11/U2: distinct set per group (siri/common.py:29 route-id sets) -----
+
+@query(
+    "distinct_set_per_day",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(DISTINCT user_id) AS n_users,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+)
+def distinct_set_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"),
+    )
+
+
+# --- W1: row_number per group, top-n (add_ride_durations first/last rows) -
+
+@query(
+    "top2_per_user",
+    """
+    SELECT user_id, event_id, ts, rn FROM (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn <= 2
+    """,
+)
+def top2_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("user_id", "event_id", "ts", "rn")
+    )
+
+
+# --- W2: ordered per-group iteration / group-break detection
+#     (update_ride_stops_vehicle_locations.py:91-101) — as lag() gaps ------
+
+@query(
+    "session_gaps",
+    """
+    SELECT user_id, COUNT(*) AS n_gaps FROM (
+      SELECT user_id,
+             date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s
+      FROM events) t
+    WHERE gap_s > 1800
+    GROUP BY user_id
+    """,
+)
+def session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.withColumn("gap_s", gap)
+        .where(F.col("gap_s") > 1800)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+    )
+
+
+# --- W3: running min per key (update_ride_stops_vehicle_locations.py:33-38
+#     dict-based running min) ----------------------------------------------
+
+@query(
+    "running_min",
+    """
+    SELECT event_id, user_id,
+           MIN(CAST(ROUND(value * 100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_min_c
+    FROM events
+    """,
+)
+def running_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.min(F.round(F.col("value") * 100).cast("long")).over(w).alias("run_min_c"),
+    )
+
+
+# --- O1/O4: sort with NULLS LAST + top-k by recency (stats/api.py:20-22) --
+
+@query(
+    "sort_nulls_last_topk",
+    """
+    SELECT event_id, user_id, value_n FROM (
+      SELECT event_id, user_id,
+             CASE WHEN event_type = 'view' THEN NULL ELSE value END AS value_n
+      FROM events) t
+    ORDER BY value_n DESC NULLS LAST, event_id ASC
+    LIMIT 20
+    """,
+)
+def sort_nulls_last_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_n", F.when(F.col("event_type") == "view", F.lit(None)).otherwise(F.col("value"))
+    )
+    return (
+        ev.select("event_id", "user_id", "value_n")
+        .orderBy(F.col("value_n").desc_nulls_last(), F.col("event_id").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "topk_recent",
+    """
+    SELECT event_id, ts, user_id, event_type
+    FROM events ORDER BY ts DESC, event_id DESC LIMIT 10
+    """,
+)
+def topk_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "ts", "user_id", "event_type")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(10)
+    )
+
+
+# --- U1/J9: ledger missing-dates union (idempotent_process_gtfs_data.py:
+#     95-109): never-attempted ∪ failed-or-null, desc. The ledger is
+#     synthesized per-day from events: attempted = days <= 01-20; success
+#     tri-state from the day's error count. -------------------------------
+
+@query(
+    "ledger_missing_dates",
+    """
+    WITH all_days AS (SELECT DISTINCT CAST(ts AS DATE) AS date FROM events),
+         ledger AS (
+           SELECT CAST(ts AS DATE) AS date,
+                  CASE WHEN COUNT(CASE WHEN event_type = 'error' THEN 1 END) = 0 THEN TRUE
+                       WHEN COUNT(CASE WHEN event_type = 'error' THEN 1 END) > 5 THEN NULL
+                       ELSE FALSE END AS success
+           FROM events
+           WHERE CAST(ts AS DATE) <= DATE '2024-01-20'
+           GROUP BY CAST(ts AS DATE)
+         )
+    SELECT date FROM all_days
+    WHERE date NOT IN (SELECT date FROM ledger)
+       OR date IN (SELECT date FROM ledger WHERE success IS NULL OR success = FALSE)
+    ORDER BY date DESC
+    """,
+)
+def ledger_missing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
+    all_days = ev.select("date").distinct()
+    nerr = F.count(F.when(F.col("event_type") == "error", 1))
+    ledger = (
+        ev.where(F.col("date") <= F.lit("2024-01-20").cast("date"))
+        .groupBy("date")
+        .agg(
+            F.when(nerr == 0, F.lit(True))
+            .when(nerr > 5, F.lit(None))
+            .otherwise(F.lit(False))
+            .alias("success")
+        )
+        .withColumn("task_name", F.lit("t"))
+    )
+    return missing_dates(all_days, ledger, unit_col="date", task_name="t")

@@ -1,0 +1,374 @@
+"""M2 hard-semantics queries: the reference behaviors that need real
+design work in Spark (SURVEY.md §2 J4/J6/J8, A4-A6, F2/F4/F5/F8/F10/F12/
+F14, W4). Each exercises an operator from ``operators/`` on the shared
+test tables with a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.geo import haversine_meters, haversine_sql
+from ..functions.hashing import hex_to_long, row_md5
+from ..operators.argmin_join import nearest_by_distance
+from ..operators.banded_join import banded_priority_join
+from ..operators.enrich import enrich_update
+from ..operators.first_last import first_last_by, ride_durations
+from ..sources.lake import load_table
+from .registry import query
+
+
+# --- J4+W4: tiered banded interval join, first-match-wins
+#     (update_rides_gtfs.py:12-28,80-97: ±1/±3/±5 min, tightest tier wins).
+#     Clicks play SIRI rides; purchases play GTFS rides; same user = the
+#     (operator_ref, line_ref) equality. ----------------------------------
+
+@query(
+    "banded_priority_match",
+    """
+    WITH l AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
+         r AS (SELECT event_id AS rid, user_id, ts FROM events WHERE event_type = 'purchase'),
+         pairs AS (
+           SELECT l.click_id, r.rid,
+                  abs(date_diff('second', r.ts, l.ts)) AS dt,
+                  CASE WHEN abs(date_diff('second', r.ts, l.ts)) <= 60 THEN 1
+                       WHEN abs(date_diff('second', r.ts, l.ts)) <= 180 THEN 3
+                       WHEN abs(date_diff('second', r.ts, l.ts)) <= 300 THEN 5 END AS tier
+           FROM l JOIN r ON l.user_id = r.user_id
+                        AND abs(date_diff('second', r.ts, l.ts)) <= 300
+         ),
+         best AS (
+           SELECT *, row_number() OVER (PARTITION BY click_id ORDER BY tier, dt, rid) AS rn
+           FROM pairs WHERE tier IS NOT NULL
+         )
+    SELECT l.click_id, b.rid AS matched_event_id, b.tier, b.dt AS dt_seconds
+    FROM l LEFT JOIN best b ON b.click_id = l.click_id AND b.rn = 1
+    """,
+)
+def banded_priority_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    out = banded_priority_join(
+        clicks,
+        purchases,
+        left_ts="ts",
+        right_ts="ts",
+        tiers_minutes=[1, 3, 5],
+        left_id="click_id",
+        right_id="event_id",
+        extra_eq_keys=["user_id"],
+    )
+    return out.select(
+        "click_id",
+        F.col("matched_event_id").cast("long").alias("matched_event_id"),
+        F.col("tier").cast("int").alias("tier"),
+        "dt_seconds",
+    )
+
+
+# --- A6+F8: nearest point by geodesic distance
+#     (update_ride_stops_vehicle_locations.py:14-56). Coordinates derived
+#     deterministically; targets are per-user fixed points. ----------------
+
+_LAT = "fmod(abs(value), 60.0)"
+_LON = "fmod(abs(value) * 3.7, 60.0)"
+_TLAT = "(CAST(user_id % 100 AS DOUBLE) / 2.0)"
+_TLON = "(CAST((user_id * 13) % 60 AS DOUBLE) + 0.5)"
+
+_NEAREST_ORACLE = f"""
+    WITH pts AS (
+      SELECT user_id, event_id,
+             {_LAT} AS lat, {_LON} AS lon,
+             {_TLAT} AS tlat, {_TLON} AS tlon
+      FROM events
+    ),
+    d AS (SELECT user_id, event_id, {haversine_sql('lat', 'lon', 'tlat', 'tlon')} AS dist FROM pts)
+    SELECT user_id,
+           arg_min(event_id, dist) AS nearest_event_id,
+           CAST(ROUND(MIN(dist)) AS BIGINT) AS distance_meters
+    FROM d GROUP BY user_id
+    """
+
+
+@query("nearest_point_per_user", _NEAREST_ORACLE)
+def nearest_point_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        (F.abs(F.col("value")) % 60.0).alias("lat"),
+        ((F.abs(F.col("value")) * 3.7) % 60.0).alias("lon"),
+        ((F.col("user_id") % 100).cast("double") / 2.0).alias("tlat"),
+        (((F.col("user_id") * 13) % 60).cast("double") + 0.5).alias("tlon"),
+    )
+    return nearest_by_distance(pts, "user_id", "event_id", "lat", "lon", "tlat", "tlon")
+
+
+# --- J6+F2: computed-key join — the journey_ref split/concat/substr
+#     rearrangement (update_rides_gtfs.py:72: 'YYYY-MM-DD-12345' ->
+#     '12345_DDMMYY'). Both sides derive from orders; the match must
+#     reconstruct itself exactly. ------------------------------------------
+
+@query(
+    "computed_key_join",
+    """
+    WITH siri AS (
+      SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') || '-' || CAST(o_orderkey AS VARCHAR) AS journey_ref
+      FROM orders WHERE o_orderstatus = 'O'
+    ),
+    rearranged AS (
+      SELECT o_orderkey,
+             split_part(journey_ref, '-', 4) || '_' ||
+             split_part(journey_ref, '-', 3) ||
+             split_part(journey_ref, '-', 2) ||
+             substr(split_part(journey_ref, '-', 1), 3) AS k
+      FROM siri
+    ),
+    gtfs AS (
+      SELECT o_orderkey AS gtfs_key,
+             CAST(o_orderkey AS VARCHAR) || '_' ||
+             strftime(o_orderdate, '%d%m%y') AS journey_ref
+      FROM orders
+    )
+    SELECT r.o_orderkey, g.gtfs_key, r.k AS joined_ref
+    FROM rearranged r JOIN gtfs g ON g.journey_ref = r.k
+    """,
+)
+def computed_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    siri = o.where(F.col("o_orderstatus") == "O").select(
+        "o_orderkey",
+        F.concat_ws(
+            "-", F.date_format("o_orderdate", "yyyy-MM-dd"), F.col("o_orderkey").cast("string")
+        ).alias("journey_ref"),
+    )
+    rearranged = siri.select(
+        "o_orderkey",
+        F.concat(
+            F.split_part(F.col("journey_ref"), F.lit("-"), F.lit(4)),
+            F.lit("_"),
+            F.split_part(F.col("journey_ref"), F.lit("-"), F.lit(3)),
+            F.split_part(F.col("journey_ref"), F.lit("-"), F.lit(2)),
+            F.substring(F.split_part(F.col("journey_ref"), F.lit("-"), F.lit(1)), 3, 2),
+        ).alias("k"),
+    )
+    gtfs = o.select(
+        F.col("o_orderkey").alias("gtfs_key"),
+        F.concat(
+            F.col("o_orderkey").cast("string"), F.lit("_"), F.date_format("o_orderdate", "ddMMyy")
+        ).alias("journey_ref"),
+    )
+    return rearranged.join(
+        gtfs, gtfs["journey_ref"] == rearranged["k"], "inner"
+    ).select("o_orderkey", "gtfs_key", F.col("k").alias("joined_ref"))
+
+
+# --- A4 with guards: ride durations with settle/staleness semantics
+#     (add_ride_durations.py:68-84). 'now' is pinned so the result is
+#     deterministic. -------------------------------------------------------
+
+_NOW = "2024-01-31 00:00:00"
+
+_RIDE_DUR_ORACLE = f"""
+    WITH r AS (
+      SELECT user_id,
+             arg_min(event_id, ts) AS first_vehicle_location_id,
+             arg_max(event_id, ts) AS last_vehicle_location_id,
+             MIN(ts) AS first_ts, MAX(ts) AS last_ts
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, first_vehicle_location_id, last_vehicle_location_id,
+           first_ts, last_ts,
+           CASE
+             WHEN last_ts < TIMESTAMP '{_NOW}' - INTERVAL 6 HOUR
+               THEN CAST(ROUND(CAST(date_diff('second', first_ts, last_ts) AS DOUBLE) / 60.0) AS INT)
+             WHEN first_ts < TIMESTAMP '{_NOW}' - INTERVAL 2 DAY THEN 0
+             ELSE NULL
+           END AS duration_minutes
+    FROM r
+    """
+
+
+@query("ride_durations_guarded", _RIDE_DUR_ORACLE)
+def ride_durations_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ride_durations(
+        ev,
+        ride_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        now=F.lit(_NOW).cast("timestamp"),
+    )
+
+
+# --- A5: first/last by sequence number (gtfs/update_ride_aggregations.py:
+#     32-51: first/last stop per ride by stop_sequence) --------------------
+
+@query(
+    "first_last_by_seq",
+    """
+    WITH r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey, l_shipdate) AS rn_f,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber DESC, l_partkey DESC, l_shipdate DESC) AS rn_l
+      FROM lineitem
+    )
+    SELECT l_orderkey,
+           MAX(CASE WHEN rn_f = 1 THEN l_partkey END) AS first_l_partkey,
+           MAX(CASE WHEN rn_l = 1 THEN l_partkey END) AS last_l_partkey,
+           MAX(CASE WHEN rn_f = 1 THEN l_shipdate END) AS first_l_shipdate,
+           MAX(CASE WHEN rn_l = 1 THEN l_shipdate END) AS last_l_shipdate,
+           MIN(l_linenumber) AS min_l_linenumber, MAX(l_linenumber) AS max_l_linenumber,
+           COUNT(*) AS n_rows
+    FROM r GROUP BY l_orderkey
+    """,
+)
+def first_last_by_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The synthetic lineitem draws l_linenumber randomly, so
+    # (l_orderkey, l_linenumber) is NOT unique — the tiebreak must span
+    # the payload columns for a deterministic result.
+    li = load_table(spark, sf_dir, "lineitem")
+    return first_last_by(
+        li,
+        "l_orderkey",
+        "l_linenumber",
+        ["l_partkey", "l_shipdate"],
+        tie_cols=["l_partkey", "l_shipdate"],
+    )
+
+
+# --- J8: enrich-update (UPDATE...FROM as join+coalesce;
+#     update_rides_gtfs.py:69-77 guarded so existing values win) -----------
+
+@query(
+    "enrich_update_guarded",
+    """
+    SELECT o_orderkey,
+           COALESCE(CASE WHEN o_orderstatus = 'F' THEN 'done' END,
+                    CASE WHEN o_totalprice > 100000 THEN 'upd-' || o_orderpriority END)
+             AS enrichment
+    FROM orders
+    """,
+)
+def enrich_update_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", F.lit("done")).alias("enrichment"),
+    )
+    updates = o.where(F.col("o_totalprice") > 100000).select(
+        "o_orderkey", F.concat(F.lit("upd-"), F.col("o_orderpriority")).alias("new_val")
+    )
+    return enrich_update(
+        base, updates, key="o_orderkey", set_cols={"enrichment": "new_val"}, only_if_null=True
+    )
+
+
+# --- F4: timestamp parse/format round-trip (common.py:8-9 snapshot ids
+#     'YYYY/MM/DD/HH/MM') ---------------------------------------------------
+
+@query(
+    "ts_parse_roundtrip",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y/%m/%d/%H/%M') AS snapshot_id,
+           strptime(strftime(ts, '%Y/%m/%d/%H/%M'), '%Y/%m/%d/%H/%M') AS parsed_minute
+    FROM events
+    """,
+)
+def ts_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sid = F.date_format("ts", "yyyy/MM/dd/HH/mm")
+    return ev.select(
+        "event_id",
+        sid.alias("snapshot_id"),
+        F.to_timestamp(sid, "yyyy/MM/dd/HH/mm").alias("parsed_minute"),
+    )
+
+
+# --- F5+F10: Israel-timezone conversion + export canonicalization
+#     (common.py:12-21; packagers/siri.py:70-80: NULL -> '', datetimes ->
+#     Israel-local ISO strings, numerics -> exact strings) -----------------
+
+@query(
+    "canonical_export",
+    """
+    SELECT event_id,
+           strftime(timezone('Asia/Jerusalem', timezone('UTC', ts)), '%Y-%m-%d %H:%M:%S')
+             AS ts_israel,
+           CAST(date_part('hour', timezone('Asia/Jerusalem', timezone('UTC', ts))) AS INT)
+             AS israel_hour,
+           CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR) AS value_c_str,
+           COALESCE(CASE WHEN event_type = 'error' THEN NULL ELSE props END, '') AS props_c
+    FROM events
+    """,
+)
+def canonical_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    il = F.from_utc_timestamp("ts", "Asia/Jerusalem")
+    return ev.select(
+        "event_id",
+        F.date_format(il, "yyyy-MM-dd HH:mm:ss").alias("ts_israel"),
+        F.hour(il).cast("int").alias("israel_hour"),
+        F.round(F.col("value") * 100).cast("long").cast("string").alias("value_c_str"),
+        F.coalesce(
+            F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("props")),
+            F.lit(""),
+        ).alias("props_c"),
+    )
+
+
+# --- F12: JSON extraction (artifacts metadata_json; props is JSON text) ---
+
+@query(
+    "json_extract_filter",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) < 10
+    """,
+)
+def json_extract_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_id", k.alias("k")).where(F.col("k") < 10)
+
+
+# --- F14: order-insensitive content hash (packagers/siri.py:140-147:
+#     skip-if-unchanged publishing). Sum of bounded per-row md5-longs is
+#     commutative, so Spark's row order doesn't matter. --------------------
+
+@query(
+    "content_hash",
+    """
+    SELECT COUNT(*) AS n_rows,
+           SUM(CAST(('0x' || substr(md5(
+             COALESCE(CAST(event_id AS VARCHAR), chr(0) || 'NULL' || chr(0)) || '|' ||
+             COALESCE(event_type, chr(0) || 'NULL' || chr(0)) || '|' ||
+             COALESCE(CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR), chr(0) || 'NULL' || chr(0))
+           ), 1, 10)) AS BIGINT)) AS content_hash
+    FROM events
+    """,
+)
+def content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = hex_to_long(
+        F.substring(
+            row_md5(
+                F.col("event_id"),
+                F.col("event_type"),
+                F.round(F.col("value") * 100).cast("long"),
+            ),
+            1,
+            10,
+        )
+    )
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum(h).alias("content_hash")
+    )

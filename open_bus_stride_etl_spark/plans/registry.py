@@ -207,8 +207,18 @@ def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, QueryFn]:
+    _load_all()
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_all()
     return dict(ORACLES)
+
+
+def _load_all() -> None:
+    """Import the query-definition modules (they self-register via the
+    ``@query`` decorator). Deferred so importing the registry stays cheap."""
+    from . import q_relational  # noqa: F401
+    from . import q_semantics  # noqa: F401
+    from . import q_llm  # noqa: F401
