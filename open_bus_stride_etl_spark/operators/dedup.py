@@ -1,0 +1,139 @@
+"""Document deduplication operators: exact, MinHash+LSH, SimHash,
+n-gram Jaccard (LLM training-data pipeline extensions).
+
+Scale design, since dedup is THE shuffle-heavy stage of a 100 TB text
+pipeline:
+- Exact dedup: one hash-groupBy on a 16-byte fingerprint — map-side
+  partial aggregation, minimal shuffle payload (hash, id), no text moves.
+- MinHash+LSH: shingle explosion is map-local; signatures are one
+  groupBy(doc); banding re-keys (band, bucket) so candidate generation is
+  an equi-join, never an all-pairs comparison. Only candidate pairs ever
+  compute exact Jaccard.
+- SimHash: per-bit majority vote as 32 conditional SUMs in ONE aggregate
+  over exploded tokens — no bit-explosion join.
+- All hashes are md5-derived integers (portable, deterministic) and the
+  MinHash permutations use (a*h + b) mod p with a < 2^20, h < 2^40 so
+  products stay below 2^61 - 1 (the Mersenne prime modulus) — exact in
+  int64 on every engine, no overflow UB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hex_to_long
+from .text import normalize_text, shingle_array
+
+# (a*h + b) mod P permutation constants. P = 2^61 - 1 (Mersenne prime);
+# a are primes < 2^20 so a*h < 2^60 < P never overflows int64.
+MINHASH_P = (1 << 61) - 1
+MINHASH_A = (999983, 999979, 999961, 999959, 999953, 999931, 999917, 999907)
+MINHASH_B = (15485863, 32452843, 49979687, 67867967, 86028121, 104395301, 122949823, 141650939)
+N_BANDS = 4  # 8 signatures = 4 bands x 2 rows
+
+
+def _shingled(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """One row per (doc, DISTINCT shingle), with a 40-bit portable hash."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    return (
+        docs.withColumn("_words", words)
+        .select(F.col(id_col), F.explode(shingle_array("_words", k)).alias("shingle"))
+        .distinct()
+        .withColumn("h", hex_to_long(F.substring(F.md5("shingle"), 1, 10)))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Per doc: 8 MinHash values m0..m7 over word-k-gram shingles."""
+    sh = _shingled(docs, id_col, text_col, k)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Docs sharing any LSH band bucket (bands of 2 rows over m0..m7).
+    Equi-join on (band, bucket) — the scale path: candidates are linear
+    in bucket occupancy, not quadratic in corpus size."""
+    bands = F.array(
+        *[
+            F.concat_ws("_", F.lit(i), F.col(f"m{2 * i}"), F.col(f"m{2 * i + 1}"))
+            for i in range(N_BANDS)
+        ]
+    )
+    keyed = signatures.select(F.col(id_col), F.explode(bands).alias("bucket"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shingle-set Jaccard per doc pair (basis points). With
+    ``candidates`` (doc_a, doc_b) the computation is restricted to those
+    pairs (the LSH path); without, every pair sharing >= 1 shingle is
+    scored (only sane at small scale — the blocker is the shared
+    shingle itself)."""
+    sh = _shingled(docs, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                10000.0 * F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            )
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
+    )
+
+
+def simhash32(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over whitespace tokens (with multiplicity): bit j
+    is the sign of the per-bit majority vote. One explode + one
+    aggregate with 32 conditional sums."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    toks = docs.select(F.col(id_col), F.explode(words).alias("tok")).withColumn(
+        "h", hex_to_long(F.substring(F.md5("tok"), 1, 8))
+    )
+    votes = [
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{j}")
+        for j in range(32)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*votes)
+    sim = None
+    for j in range(32):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << j).cast("long")
+        sim = term if sim is None else sim + term
+    return per_doc.select(F.col(id_col), sim.alias("simhash"))

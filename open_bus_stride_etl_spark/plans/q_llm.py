@@ -1,6 +1,376 @@
-"""M4 LLM-data-pipeline queries: dedup, similarity search, text analysis
-over the ``documents`` and ``embeddings`` tables (BASELINE.json north-star
-extensions). Filled in milestone M4.
+"""M4 LLM-data-pipeline queries: deduplication (exact / MinHash-LSH /
+SimHash / n-gram Jaccard), embedding similarity search (brute-force and
+LSH-bucketed ANN), text analysis (language ID, quality, tokens,
+fingerprints), and multimodal binary plumbing — the BASELINE.json
+extensions, each with a DuckDB oracle that replicates the *same*
+deterministic algorithm (portable md5-derived hashes, integer
+arithmetic), so even the approximate operators are exactly checkable.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hex_to_long
+from ..operators import dedup as dd
+from ..operators import similarity as sim
+from ..operators import text as tx
+from ..operators.multimodal import fake_decode_stats
+from ..sources.lake import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB CTE fragments (the oracle-side twins of operators/dedup.py).
+# ---------------------------------------------------------------------------
+
+_SQL_SHINGLES = r"""
+norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+sh AS (
+  SELECT DISTINCT doc_id, s.shingle
+  FROM words, LATERAL (
+    SELECT unnest(list_transform(range(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle) s
+),
+hashed AS (SELECT doc_id, shingle,
+                  CAST(('0x' || substr(md5(shingle), 1, 10)) AS BIGINT) AS h
+           FROM sh)
+"""
+
+_SQL_MINHASH = "mh AS (SELECT doc_id, " + ", ".join(
+    f"MIN(({a} * h + {b}) % {dd.MINHASH_P}) AS m{i}"
+    for i, (a, b) in enumerate(zip(dd.MINHASH_A, dd.MINHASH_B))
+) + " FROM hashed GROUP BY doc_id)"
+
+_SQL_BUCKETS = "buckets AS (" + " UNION ALL ".join(
+    f"SELECT doc_id, CAST({i} AS VARCHAR) || '_' || CAST(m{2*i} AS VARCHAR) || '_' || CAST(m{2*i+1} AS VARCHAR) AS bucket FROM mh"
+    for i in range(dd.N_BANDS)
+) + ")"
+
+_SQL_JACCARD = """
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM hashed GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM hashed a JOIN hashed b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b,
+         CAST(ROUND(10000.0 * n_inter / (sa.n + sb.n - n_inter)) AS BIGINT) AS jaccard_bp
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Dedup: exact (fingerprint groups)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact_groups",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 60)) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+    FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the normalized 60-char prefix fingerprint:
+    keep-first semantics (min doc_id is the keeper). Full-text md5 is
+    `doc_fingerprints`; the prefix variant produces non-trivial groups
+    on this corpus."""
+    d = _docs(spark, sf_dir).withColumn("fingerprint", tx.prefix_fingerprint(F.col("text"), 60))
+    return (
+        d.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")),
+                ",",
+            ).alias("members"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup: MinHash + LSH with exact-Jaccard verification of candidates
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_minhash_lsh",
+    "WITH " + _SQL_SHINGLES + ", " + _SQL_MINHASH + ", " + _SQL_BUCKETS + ","
+    """
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    """
+    + _SQL_JACCARD.replace("jac AS (", "jac AS (")
+    + """
+    SELECT j.doc_a, j.doc_b, j.jaccard_bp
+    FROM jac j JOIN cand c ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+    WHERE j.jaccard_bp >= 5000
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) -> LSH(4 bands x 2) candidates -> exact Jaccard >= 0.5.
+    The LSH equi-join is the 100 TB path: candidates are linear in
+    bucket occupancy, not corpus-quadratic."""
+    d = _docs(spark, sf_dir)
+    sigs = dd.minhash_signatures(d)
+    cands = dd.lsh_candidate_pairs(sigs)
+    pairs = dd.jaccard_pairs(d, candidates=cands)
+    return pairs.where(F.col("jaccard_bp") >= 5000)
+
+
+# ---------------------------------------------------------------------------
+# Dedup: exact n-gram Jaccard over shingle-blocked pairs
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_ngram_jaccard",
+    "WITH " + _SQL_SHINGLES + "," + _SQL_JACCARD + """
+    SELECT doc_a, doc_b, jaccard_bp FROM jac WHERE jaccard_bp >= 5000
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return dd.jaccard_pairs(d).where(F.col("jaccard_bp") >= 5000)
+
+
+# ---------------------------------------------------------------------------
+# Dedup: SimHash signatures
+# ---------------------------------------------------------------------------
+
+_SIMHASH_VOTES = ", ".join(
+    f"SUM(((h >> {j}) & 1) * 2 - 1) AS v{j}" for j in range(32)
+)
+_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN v{j} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {j})" for j in range(32)
+)
+
+@query(
+    "simhash_signatures",
+    r"""
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+    toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+    hashed AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks),
+    votes AS (SELECT doc_id, """ + _SIMHASH_VOTES + """ FROM hashed GROUP BY doc_id)
+    SELECT doc_id, """ + _SIMHASH_BITS + """ AS simhash FROM votes
+    """,
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash32(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Similarity: brute-force cosine top-k (exact baseline)
+# ---------------------------------------------------------------------------
+
+_SQL_COMP = """
+comp AS (
+  SELECT vec_id, u.i AS pos, CAST(ROUND(CAST(u.x AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings, LATERAL (
+    SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i) u
+),
+n2 AS (SELECT vec_id, SUM(q * q) AS n2 FROM comp GROUP BY vec_id)
+"""
+
+@query(
+    "cosine_topk",
+    "WITH " + _SQL_COMP + """,
+    dots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id, SUM(a.q * b.q) AS dot
+      FROM comp a JOIN comp b ON a.pos = b.pos
+      WHERE a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, cand_id, dot / (sqrt(qa.n2) * sqrt(qb.n2)) AS cos
+      FROM dots JOIN n2 qa ON qa.vec_id = query_id JOIN n2 qb ON qb.vec_id = cand_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+          FROM scored)
+    SELECT query_id, cand_id, rank, cos FROM r WHERE rank <= 5
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return sim.cosine_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Similarity: LSH-bucketed ANN (the scale path)
+# ---------------------------------------------------------------------------
+
+_SQL_BUCKET = " + ".join(
+    f"(CASE WHEN embedding[{j + 1}] > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {j})"
+    for j in range(8)
+)
+
+@query(
+    "ann_lsh_topk",
+    "WITH " + _SQL_COMP + f""",
+    bk AS (SELECT vec_id, {_SQL_BUCKET} AS bucket FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id
+      FROM bk q JOIN bk c ON q.bucket = c.bucket
+      WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+    ),
+    dots AS (
+      SELECT p.query_id, p.cand_id, SUM(a.q * b.q) AS dot
+      FROM pairs p
+      JOIN comp a ON a.vec_id = p.query_id
+      JOIN comp b ON b.vec_id = p.cand_id AND b.pos = a.pos
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, cand_id, dot / (sqrt(qa.n2) * sqrt(qb.n2)) AS cos
+      FROM dots JOIN n2 qa ON qa.vec_id = query_id JOIN n2 qb ON qb.vec_id = cand_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+          FROM scored)
+    SELECT query_id, cand_id, rank, cos FROM r WHERE rank <= 3
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return sim.ann_lsh_topk(emb, queries, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: quality metrics + token counts
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_quality",
+    r"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
+           len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
+           CASE WHEN length(text) = 0 THEN 0
+                ELSE CAST(ROUND(10000.0 * (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / length(text)) AS BIGINT) END AS punct_bp,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE CAST(ROUND(10000.0 * len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it)\b'))
+                     / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) END AS stopword_bp,
+           GREATEST(0, LEAST(10000,
+             LEAST(length(text), 400) * 10
+             - LEAST(CASE WHEN length(text) = 0 THEN 0
+                          ELSE CAST(ROUND(10000.0 * (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / length(text)) AS BIGINT) END, 3000)
+             + LEAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE CAST(ROUND(10000.0 * len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it)\b'))
+                               / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) END, 3000))) AS quality_bp
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        tx.ws_token_count(t).cast("long").alias("n_ws_tokens"),
+        tx.bpe_token_count(t).cast("long").alias("n_bpe_tokens"),
+        tx.punct_ratio_bp(t).alias("punct_bp"),
+        tx.stopword_ratio_bp(t).alias("stopword_bp"),
+        tx.quality_score_bp(t).alias("quality_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language-ID heuristic
+# ---------------------------------------------------------------------------
+
+_SQL_LANG_SCORES = ", ".join(
+    f"len(regexp_extract_all(lower(text), '\\b({'|'.join(w)})\\b')) AS s_{lang}"
+    for lang, w in tx.LANG_PROFILES.items()
+)
+
+@query(
+    "lang_id",
+    f"""
+    WITH s AS (SELECT doc_id, lang AS labeled_lang, {_SQL_LANG_SCORES} FROM documents)
+    SELECT doc_id, labeled_lang, s_en, s_es, s_de, s_fr,
+           CASE WHEN GREATEST(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                WHEN s_en = GREATEST(s_en, s_es, s_de, s_fr) THEN 'en'
+                WHEN s_es = GREATEST(s_es, s_de, s_fr) THEN 'es'
+                WHEN s_de = GREATEST(s_de, s_fr) THEN 'de'
+                ELSE 'fr' END AS predicted_lang
+    FROM s
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    scores = tx.lang_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[s.cast("long").alias(f"s_{lang}") for lang, s in scores.items()],
+        tx.lang_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: document fingerprints (exact + prefix + min-shingle-hash)
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_fingerprints",
+    "WITH " + _SQL_SHINGLES + r""",
+    msh AS (SELECT doc_id, MIN(h) AS min_shingle_hash FROM hashed GROUP BY doc_id)
+    SELECT n.doc_id,
+           md5(n.t) AS fingerprint,
+           md5(substr(n.t, 1, 60)) AS prefix_fingerprint,
+           m.min_shingle_hash
+    FROM norm n LEFT JOIN msh m ON m.doc_id = n.doc_id
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).withColumn("_words", F.split(tx.normalize_text(F.col("text")), " "))
+    return d.select(
+        "doc_id",
+        tx.doc_fingerprint(F.col("text")).alias("fingerprint"),
+        tx.prefix_fingerprint(F.col("text"), 60).alias("prefix_fingerprint"),
+        tx.rolling_min_shingle_hash("_words").alias("min_shingle_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary payload plumbing through Arrow-batched pandas
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_decode_stats",
+    r"""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,
+           CAST(list_sum(list_transform(range(1, length(text) + 1),
+                                        i -> ord(substr(text, i, 1)))) AS DOUBLE)
+             / octet_length(encode(text)) AS mean_byte
+    FROM documents
+    """,
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents' text bytes stand in for media payloads; the decode
+    stage is the deterministic fake (operators/multimodal.py) running in
+    mapInPandas — the real Arrow batch path a media pipeline uses."""
+    d = _docs(spark, sf_dir)
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    return fake_decode_stats(media)

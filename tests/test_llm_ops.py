@@ -1,0 +1,112 @@
+"""Tests for the LLM-pipeline operators: dedup, similarity, text
+analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from open_bus_stride_etl_spark.operators import dedup as dd
+from open_bus_stride_etl_spark.operators import similarity as sim
+from open_bus_stride_etl_spark.operators import text as tx
+from open_bus_stride_etl_spark.operators.multimodal import (
+    decode_image,
+    fake_decode_stats,
+    frame_sample_plan,
+)
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="The  quick  brown fox jumps over the lazy dog"),
+            Row(doc_id=3, text="completely different words appear here instead now"),
+        ]
+    )
+    sigs = {r["doc_id"]: tuple(r[f"m{i}"] for i in range(8)) for r in dd.minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]  # normalization folds case/whitespace
+    assert sigs[1] != sigs[3]
+
+
+def test_jaccard_identical_is_10000(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e f g h"),
+            Row(doc_id=2, text="a b c d e f g h"),
+            Row(doc_id=3, text="a b c d e f g x"),
+        ]
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard_bp"] for r in dd.jaccard_pairs(docs).collect()}
+    assert pairs[(1, 2)] == 10000
+    # 8 words -> 6 shingles; docs 1 and 3 share 5 of 7 distinct
+    assert pairs[(1, 3)] == round(10000 * 5 / 7)
+
+
+def test_shingle_count_exact(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="w1 w2 w3 w4"), Row(doc_id=2, text="w1 w2")])
+    out = df.withColumn("_w", F.split(tx.normalize_text(F.col("text")), " ")).select(
+        "doc_id", F.size(tx.shingle_array("_w", 3)).alias("n")
+    )
+    got = {r["doc_id"]: r["n"] for r in out.collect()}
+    assert got == {1: 2, 2: 0}  # n - k + 1, and no descending-sequence blowup
+
+
+def test_simhash_deterministic(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma"), Row(doc_id=2, text="alpha beta gamma")]
+    )
+    out = [r["simhash"] for r in dd.simhash32(docs).collect()]
+    assert out[0] == out[1]
+    assert 0 <= out[0] < (1 << 32)
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+            Row(vec_id=1, embedding=[0.9, 0.1, 0.0]),   # most similar to 0
+            Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),   # orthogonal
+            Row(vec_id=3, embedding=[0.5, 0.5, 0.0]),
+        ]
+    )
+    q = emb.where(F.col("vec_id") == 0)
+    out = sim.cosine_topk(emb, q, k=3).orderBy("rank").collect()
+    assert [r["cand_id"] for r in out] == [1, 3, 2]
+    assert out[0]["cos"] > 0.99
+
+
+def test_lang_id_profiles(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat and the dog of the house"),
+            Row(doc_id=2, text="el gato y la casa de la abuela"),
+            Row(doc_id=3, text="zzz qqq xxx"),
+        ]
+    )
+    out = {r["doc_id"]: r["p"] for r in docs.select("doc_id", tx.lang_id(F.col("text")).alias("p")).collect()}
+    assert out == {1: "en", 2: "es", 3: "und"}
+
+
+def test_multimodal_fake_decode_and_stub(spark):
+    media = spark.createDataFrame(
+        [Row(media_id=1, payload=b"abc"), Row(media_id=2, payload=None)]
+    )
+    out = {r["media_id"]: r for r in fake_decode_stats(media).collect()}
+    assert out[1]["n_bytes"] == 3
+    assert out[1]["payload_md5"] == "900150983cd24fb0d6963f7d28e17f72"
+    assert abs(out[1]["mean_byte"] - (97 + 98 + 99) / 3) < 1e-9
+    assert out[2]["n_bytes"] is None
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_frame_sample_plan(spark):
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, kind="video", payload=b"x" * 30720),  # 30 "frames"
+            Row(media_id=2, kind="image", payload=b"y" * 30720),
+        ]
+    )
+    rows = frame_sample_plan(media, every_n=10).collect()
+    assert {r["media_id"] for r in rows} == {1}
+    assert [r["frame_no"] for r in rows] == [0, 10, 20]
