@@ -1,0 +1,260 @@
+"""Runnable stride tasks: the reference's Airflow DAG tasks, registered
+in the engine's task registry and operating on a stride lake directory.
+
+Reference DAG declarations (/root/reference/open_bus_stride_etl/*/dags.yaml):
+- stride-etl-siri-add-ride-durations            @hourly, num_days=4
+- stride-etl-siri-update-ride-stops-gtfs        @hourly, num_days=1
+- stride-etl-siri-update-rides-gtfs             @hourly, num_days=1
+- stride-etl-siri-update-ride-stops-vehicle-locations @hourly, num_days=1
+- stride-etl-gtfs-update-ride-aggregations      @daily (ledger-driven)
+- stride-etl-packagers-siri-hourly-update-packages @daily
+- stride-etl-stats-collect [--validate]         @daily
+
+Each task here is ``(spark, base_dir, window) -> metrics dict``; the
+plan functions (plans/stride.py) are pure, so the task layer only does
+lake I/O, ledger bookkeeping, and metric counting — mirroring the
+reference's split between SQL and orchestration.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.ledger import missing_dates
+from ..operators.stats import status_counts, validate_freshness
+from ..sources import stride_lake as lake
+from ..sources.csv_package import publish_if_changed, read_manifest
+from . import stride
+from .tasks import task
+
+
+def _set_count(before: DataFrame, after: DataFrame, col: str) -> int:
+    """How many rows gained a non-null ``col`` — the reference's per-task
+    UPDATE counters (SURVEY.md §2.4 A8), as two cheap aggregates."""
+    return (
+        after.where(F.col(col).isNotNull()).count()
+        - before.where(F.col(col).isNotNull()).count()
+    )
+
+
+@task("siri-add-ride-durations", cadence="hourly", num_days=4)
+def siri_add_ride_durations(spark: SparkSession, base_dir: str, min_date: str, max_date: str):
+    rides = lake.read_table(spark, base_dir, "siri_ride")
+    out = stride.add_ride_durations(
+        rides,
+        lake.read_table(spark, base_dir, "siri_ride_stop"),
+        lake.read_table(spark, base_dir, "siri_vehicle_location"),
+        min_date,
+        max_date,
+        now=F.current_timestamp(),
+    )
+    n_updated = _set_count(rides, out, "updated_duration_minutes")
+    n = lake.overwrite_table(out, base_dir, "siri_ride")
+    return {"rows": n, "updated_duration": n_updated}
+
+
+@task("siri-update-ride-stops-gtfs", cadence="hourly", num_days=1)
+def siri_update_ride_stops_gtfs(spark: SparkSession, base_dir: str, min_date: str, max_date: str):
+    ride_stops = lake.read_table(spark, base_dir, "siri_ride_stop")
+    out = stride.update_ride_stops_gtfs(
+        ride_stops,
+        lake.read_table(spark, base_dir, "siri_ride"),
+        lake.read_table(spark, base_dir, "siri_stop"),
+        lake.read_table(spark, base_dir, "gtfs_stop"),
+        min_date,
+        max_date,
+    )
+    n_matched = _set_count(ride_stops, out, "gtfs_stop_id")
+    n = lake.overwrite_table(out, base_dir, "siri_ride_stop")
+    return {"rows": n, "matched_gtfs_stops": n_matched}
+
+
+@task("siri-update-rides-gtfs", cadence="hourly", num_days=1)
+def siri_update_rides_gtfs(spark: SparkSession, base_dir: str, min_date: str, max_date: str):
+    rides = lake.read_table(spark, base_dir, "siri_ride")
+    out = stride.update_rides_gtfs(
+        rides,
+        lake.read_table(spark, base_dir, "siri_route"),
+        lake.read_table(spark, base_dir, "gtfs_route"),
+        lake.read_table(spark, base_dir, "gtfs_ride"),
+        min_date,
+        max_date,
+    )
+    n_matched = _set_count(rides, out, "gtfs_ride_id")
+    n = lake.overwrite_table(out, base_dir, "siri_ride")
+    return {"rows": n, "matched_gtfs_rides": n_matched}
+
+
+@task("siri-update-ride-stops-vehicle-locations", cadence="hourly", num_days=1)
+def siri_update_ride_stops_vehicle_locations(
+    spark: SparkSession, base_dir: str, min_date: str, max_date: str
+):
+    ride_stops = lake.read_table(spark, base_dir, "siri_ride_stop")
+    out = stride.update_ride_stops_vehicle_locations(
+        ride_stops,
+        lake.read_table(spark, base_dir, "siri_ride"),
+        lake.read_table(spark, base_dir, "siri_vehicle_location"),
+        lake.read_table(spark, base_dir, "gtfs_stop"),
+        min_date,
+        max_date,
+    )
+    n_matched = _set_count(ride_stops, out, "nearest_siri_vehicle_location_id")
+    n = lake.overwrite_table(out, base_dir, "siri_ride_stop")
+    return {"rows": n, "matched_nearest_locations": n_matched}
+
+
+def _ledger(spark: SparkSession, base_dir: str) -> DataFrame:
+    if lake.table_exists(base_dir, "gtfs_data_task"):
+        return lake.read_table(spark, base_dir, "gtfs_data_task")
+    return spark.createDataFrame(
+        [], "date date, task_name string, started_at timestamp, completed_at timestamp, "
+        "error string, success boolean"
+    )
+
+
+def _record_ledger(
+    spark: SparkSession, base_dir: str, task_name: str, dates: list, success: bool, error=None
+) -> None:
+    """Append (date, task) completion rows — the reference's
+    idempotent_process_gtfs_data.py:30-78 bookkeeping. Parquet append
+    creates new files only, so no read-overwrite hazard."""
+    if not dates:
+        return
+    now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+    rows = [(d, task_name, now, now, error, success) for d in dates]
+    df = spark.createDataFrame(
+        rows,
+        "date date, task_name string, started_at timestamp, completed_at timestamp, "
+        "error string, success boolean",
+    )
+    df.write.mode("append").parquet(lake.table_path(base_dir, "gtfs_data_task"))
+
+
+@task("gtfs-update-ride-aggregations", cadence="daily")
+def gtfs_update_ride_aggregations(spark: SparkSession, base_dir: str):
+    """Ledger-driven: only dates never processed or previously failed are
+    (re)computed (idempotent_process_gtfs_data.py:93-124); afterwards a
+    date is recorded successful only if >= 90% of its rides got non-null
+    start/end (gtfs/update_ride_aggregations.py:58-74)."""
+    task_name = "gtfs-update-ride-aggregations"
+    g_rides = lake.read_table(spark, base_dir, "gtfs_ride")
+    g_routes = lake.read_table(spark, base_dir, "gtfs_route")
+    dated = g_rides.join(
+        g_routes.select(F.col("id").alias("gtfs_route_id"), "date"), on="gtfs_route_id"
+    )
+    todo_dates = [
+        r["date"]
+        for r in missing_dates(
+            dated.select("date").distinct(), _ledger(spark, base_dir), task_name=task_name
+        ).collect()
+    ]
+    if not todo_dates:
+        return {"dates_processed": 0}
+
+    # One distributed pass over all todo dates (the reference loops dates;
+    # Spark processes the union and the ledger records per-date outcome).
+    out = stride.update_gtfs_ride_aggregations(
+        g_rides, lake.read_table(spark, base_dir, "gtfs_ride_stop")
+    )
+    lake.overwrite_table(out, base_dir, "gtfs_ride")
+
+    fresh = lake.read_table(spark, base_dir, "gtfs_ride").join(
+        g_routes.select(F.col("id").alias("gtfs_route_id"), "date"), on="gtfs_route_id"
+    )
+    complete = F.when(
+        F.col("start_time").isNotNull() & F.col("end_time").isNotNull(), 100.0
+    ).otherwise(0.0)
+    pct = {
+        r["date"]: r["pct"]
+        for r in fresh.where(F.col("date").isin(todo_dates))
+        .groupBy("date")
+        .agg(F.avg(complete).alias("pct"))
+        .collect()
+    }
+    ok = [d for d in todo_dates if pct.get(d, 0.0) >= 90.0]
+    bad = [d for d in todo_dates if d not in ok]
+    _record_ledger(spark, base_dir, task_name, ok, success=True)
+    _record_ledger(
+        spark, base_dir, task_name, bad, success=False, error="completeness below 90%"
+    )
+    # refresh the materialized-aggregate analogs (siri/update_rides_gtfs.py:130-137)
+    for by_hour, name in ((False, "gtfs_rides_agg"), (True, "gtfs_rides_agg_by_hour")):
+        lake.overwrite_table(
+            stride.gtfs_rides_agg(
+                lake.read_table(spark, base_dir, "gtfs_ride"), g_routes, by_hour=by_hour
+            ),
+            base_dir,
+            name,
+        )
+    return {"dates_processed": len(todo_dates), "dates_ok": len(ok), "dates_failed": len(bad)}
+
+
+@task("siri-hourly-update-packages", cadence="daily", force_days=5)
+def siri_hourly_update_packages(
+    spark: SparkSession,
+    base_dir: str,
+    out_dir: str | None = None,
+    force_days: int = 5,
+    max_hours: int | None = None,
+    budget_seconds: int = 36000,
+):
+    """Hour sweep, newest first (packagers/siri.py:206-240): each hour's
+    flat export becomes one package. Hours older than ``force_days`` that
+    already have a manifest are skipped without recompute (:218's
+    force-refresh horizon); otherwise the content-hash compare decides
+    created/updated/skipped (:194-202). ``budget_seconds`` is the
+    reference's 10h wall-clock budget (:216)."""
+    out_dir = out_dir or os.path.join(base_dir, "packages")
+    locations = lake.read_table(spark, base_dir, "siri_vehicle_location")
+    ride_stops = lake.read_table(spark, base_dir, "siri_ride_stop")
+    rides = lake.read_table(spark, base_dir, "siri_ride")
+    routes = lake.read_table(spark, base_dir, "siri_route")
+    stops = lake.read_table(spark, base_dir, "siri_stop")
+    gtfs_stops = lake.read_table(spark, base_dir, "gtfs_stop")
+
+    bounds = locations.agg(
+        F.date_trunc("hour", F.min("recorded_at_time")).alias("lo"),
+        F.date_trunc("hour", F.max("recorded_at_time")).alias("hi"),
+    ).collect()[0]
+    if bounds["lo"] is None:
+        return {"hours_scanned": 0}
+    force_cutoff = bounds["hi"] - datetime.timedelta(days=force_days)
+
+    t0 = time.time()
+    counts = {"created": 0, "updated": 0, "skipped": 0, "skipped_exists": 0}
+    hour = bounds["hi"]
+    scanned = 0
+    while hour >= bounds["lo"]:
+        if time.time() - t0 > budget_seconds or (max_hours and scanned >= max_hours):
+            break
+        base_name = hour.strftime("%Y-%m-%d.%H")
+        if hour < force_cutoff and read_manifest(out_dir, base_name) is not None:
+            counts["skipped_exists"] += 1
+        else:
+            df = stride.siri_flat_export(
+                locations, ride_stops, rides, routes, stops, gtfs_stops,
+                str(hour), str(hour + datetime.timedelta(hours=1)),
+            )
+            res = publish_if_changed(df, out_dir, base_name)
+            counts[res["status"]] += 1
+        scanned += 1
+        hour -= datetime.timedelta(hours=1)
+    return {"hours_scanned": scanned, **counts}
+
+
+@task("stats-collect", cadence="daily", validate=False)
+def stats_collect(spark: SparkSession, base_dir: str, validate: bool = False):
+    """stats/api.py:18-117 — snapshot status counts + freshness; with
+    ``validate`` the task raises (exit 1) when the newest snapshot is
+    older than 1 hour."""
+    snaps = lake.read_table(spark, base_dir, "siri_snapshot")
+    counts = status_counts(snaps, "etl_status")
+    metrics = {"snapshot_status_counts": counts}
+    if validate:
+        metrics["freshness_age_sec"] = validate_freshness(snaps, 3600)
+    return metrics

@@ -1,0 +1,68 @@
+"""Stride lake: the engine's storage layer for the transit tables.
+
+The reference keeps these tables in PostgreSQL and mutates them with
+UPDATEs (SURVEY.md §1.1). Here each table is a parquet directory under a
+base dir; enrichment tasks read a table, recompute the enrichment
+columns, and atomically replace the table snapshot (write-new + swap).
+Re-running a window converges to the same state — the reference's
+``IS NULL`` todo-marker contract — so the swap is safe to repeat.
+
+On a real cluster with date-partitioned facts the swap narrows to
+``INSERT OVERWRITE`` of the affected date partitions
+(sources/lake.py:write_partitioned); the whole-table swap here is the
+local-mode equivalent that keeps tests hermetic.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+STRIDE_TABLES = (
+    "siri_snapshot",
+    "siri_route",
+    "siri_stop",
+    "siri_ride",
+    "siri_ride_stop",
+    "siri_vehicle_location",
+    "gtfs_stop",
+    "gtfs_route",
+    "gtfs_ride",
+    "gtfs_ride_stop",
+    "gtfs_data_task",
+)
+
+
+def table_path(base_dir: str, name: str) -> str:
+    return os.path.join(base_dir, f"{name}.parquet")
+
+
+def table_exists(base_dir: str, name: str) -> bool:
+    return os.path.exists(table_path(base_dir, name))
+
+
+def read_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(base_dir, name))
+
+
+def overwrite_table(df: DataFrame, base_dir: str, name: str) -> int:
+    """Replace the table snapshot. Spark cannot overwrite a path it is
+    concurrently reading (self-join of source and sink), so: write to a
+    temp sibling, then swap directories driver-side. Returns row count.
+
+    Single-writer semantics (one scheduler per task), like the reference's
+    per-task Airflow DAGs.
+    """
+    final = table_path(base_dir, name)
+    tmp = f"{final}.tmp-{int(time.time() * 1000)}"
+    df.write.mode("overwrite").parquet(tmp)
+    n = df.sparkSession.read.parquet(tmp).count()
+    old = f"{final}.old-{int(time.time() * 1000)}"
+    if os.path.exists(final):
+        os.rename(final, old)
+    os.rename(tmp, final)
+    shutil.rmtree(old, ignore_errors=True)
+    return n

@@ -201,7 +201,30 @@ def build(spark):
             )
     gtfs_ride_stops = spark.createDataFrame(grs)
 
+    snaps = []
+    for i in range(1, 13):
+        st = NOW - datetime.timedelta(minutes=70 - 5 * i)  # newest at NOW-10m
+        snaps.append(
+            Row(
+                id=i,
+                snapshot_id=st.strftime("%Y/%m/%d/%H/%M"),
+                etl_status="loaded" if i % 4 else "error",
+                etl_start_time=st,
+                etl_end_time=st + datetime.timedelta(seconds=40),
+                error=None if i % 4 else "boom",
+                num_successful_parse_vehicle_locations=100 + i,
+                num_failed_parse_vehicle_locations=i % 3,
+            )
+        )
+    siri_snapshots = spark.createDataFrame(
+        snaps,
+        "id long, snapshot_id string, etl_status string, etl_start_time timestamp, "
+        "etl_end_time timestamp, error string, "
+        "num_successful_parse_vehicle_locations int, num_failed_parse_vehicle_locations int",
+    )
+
     return {
+        "siri_snapshot": siri_snapshots,
         "siri_route": siri_routes,
         "siri_stop": siri_stops,
         "siri_ride": siri_rides,
