@@ -34,13 +34,19 @@ N_BANDS = 4  # 8 signatures = 4 bands x 2 rows
 
 
 def _shingled(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """One row per (doc, DISTINCT shingle), with a 40-bit portable hash."""
+    """One row per (doc, DISTINCT shingle-hash). The shingle string is
+    hashed to 40 bits BEFORE the distinct so every downstream shuffle
+    (dedup, set-size counts, intersection joins) moves 8-byte keys
+    instead of full k-gram strings — at 100 TB the difference is the
+    whole shuffle budget. All set operations downstream are defined over
+    the hash (the oracle hashes identically, so results agree by
+    construction)."""
     words = F.split(normalize_text(F.col(text_col)), " ")
     return (
         docs.withColumn("_words", words)
         .select(F.col(id_col), F.explode(shingle_array("_words", k)).alias("shingle"))
+        .select(F.col(id_col), hex_to_long(F.substring(F.md5("shingle"), 1, 10)).alias("h"))
         .distinct()
-        .withColumn("h", hex_to_long(F.substring(F.md5("shingle"), 1, 10)))
     )
 
 
@@ -89,18 +95,33 @@ def jaccard_pairs(
     shingle itself)."""
     sh = _shingled(docs, id_col, text_col, k)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
+        # The scale path: never self-join the whole corpus. Intersections
+        # are computed pair-first — candidates ⋈ a-shingles ⋈ b-shingles —
+        # so work is O(|candidates| * shingles/doc), independent of corpus
+        # size. This is the reason LSH banding exists; filtering an
+        # all-pairs join afterwards would throw that away.
+        a_sh = sh.select(F.col(id_col).alias("doc_a"), "h").join(
+            candidates.select("doc_a").distinct(), on="doc_a", how="left_semi"
+        )
+        b_sh = sh.select(F.col(id_col).alias("doc_b"), "h")
+        inter = (
+            candidates.join(a_sh, on="doc_a")
+            .join(b_sh, on=["doc_b", "h"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.h") == F.col("b.h"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
     return (

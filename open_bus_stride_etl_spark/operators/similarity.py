@@ -43,6 +43,24 @@ def norms2(comp: DataFrame, id_col: str = "vec_id") -> DataFrame:
     return comp.groupBy(id_col).agg(F.sum(F.col("q") * F.col("q")).alias("n2"))
 
 
+def quantized_vec(vec_col: str) -> "F.Column":
+    """array<float> -> array<bigint> of micro-units (same double-first
+    rule as quantized_components)."""
+    return F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * QUANT).cast("long")
+    )
+
+
+def _dot(a: "F.Column", b: "F.Column") -> "F.Column":
+    """Exact integer dot product of two array<bigint> columns — stays in
+    whole-stage codegen (no explode, no shuffle, no Python)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -52,24 +70,25 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k nearest (by cosine) corpus vectors per query vector.
     ``queries`` has the same schema; self-matches are excluded.
-    Output: query_id, cand_id, rank, cos (double, bit-portable)."""
+    Output: query_id, cand_id, rank, cos (double, bit-portable).
+
+    Scale shape: quantize per row, broadcast the (small) query set, and
+    compute each 64-dim dot as ONE codegen'd array expression — a
+    broadcast nested-loop over |corpus| x |queries| rows with zero
+    shuffle until the final per-query top-k (tiny). The earlier
+    posexplode+groupBy formulation moved 64x the rows through a hash
+    aggregate for the same integer results."""
     from pyspark.sql import Window
 
-    qc = quantized_components(queries, id_col, vec_col).withColumnRenamed(id_col, "query_id")
-    cc = quantized_components(emb, id_col, vec_col).withColumnRenamed(id_col, "cand_id")
-    qn = norms2(qc, "query_id")
-    cn = norms2(cc, "cand_id")
-    dots = (
-        F.broadcast(qc)
-        .join(cc, on="pos")
-        .groupBy("query_id", "cand_id")
-        .agg(F.sum(qc["q"] * cc["q"]).alias("dot"))
-    )
-    cos = F.col("dot") / (F.sqrt(F.col("qn.n2")) * F.sqrt(F.col("cn.n2")))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), quantized_vec(vec_col).alias("_qq")
+    ).withColumn("_qn2", _dot(F.col("_qq"), F.col("_qq")))
+    cv = emb.select(
+        F.col(id_col).alias("cand_id"), quantized_vec(vec_col).alias("_cq")
+    ).withColumn("_cn2", _dot(F.col("_cq"), F.col("_cq")))
+    cos = _dot(F.col("_qq"), F.col("_cq")) / (F.sqrt(F.col("_qn2")) * F.sqrt(F.col("_cn2")))
     scored = (
-        dots.join(F.broadcast(qn.alias("qn")), on="query_id")
-        .join(cn.alias("cn"), on="cand_id")
-        .where(F.col("query_id") != F.col("cand_id"))
+        cv.join(F.broadcast(qv), F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id", cos.alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
@@ -104,29 +123,23 @@ def ann_lsh_topk(
     scored. Same scoring math as cosine_topk."""
     from pyspark.sql import Window
 
-    q = queries.withColumn("bucket", sign_lsh_bucket(vec_col, bits))
-    c = emb.withColumn("bucket", sign_lsh_bucket(vec_col, bits))
-    qc = quantized_components(q, id_col, vec_col).withColumnRenamed(id_col, "query_id")
-    cc = quantized_components(c, id_col, vec_col).withColumnRenamed(id_col, "cand_id")
-    pairs = (
-        F.broadcast(q.select(F.col(id_col).alias("query_id"), "bucket"))
-        .join(c.select(F.col(id_col).alias("cand_id"), "bucket"), on="bucket")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        sign_lsh_bucket(vec_col, bits).alias("bucket"),
+        quantized_vec(vec_col).alias("_qq"),
+    ).withColumn("_qn2", _dot(F.col("_qq"), F.col("_qq")))
+    cv = emb.select(
+        F.col(id_col).alias("cand_id"),
+        sign_lsh_bucket(vec_col, bits).alias("bucket"),
+        quantized_vec(vec_col).alias("_cq"),
+    ).withColumn("_cn2", _dot(F.col("_cq"), F.col("_cq")))
+    # Bucket-mates only: candidate generation is a hash equi-join on the
+    # bucket id; scoring is the same codegen'd array dot as cosine_topk.
+    cos = _dot(F.col("_qq"), F.col("_cq")) / (F.sqrt(F.col("_qn2")) * F.sqrt(F.col("_cn2")))
+    scored = (
+        cv.join(F.broadcast(qv), on="bucket")
         .where(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id")
-    )
-    # Join components through the candidate-pair list.
-    qcc = qc.withColumnRenamed("q", "qq")
-    dots = (
-        pairs.join(qcc, on="query_id")
-        .join(cc, on=["cand_id", "pos"])
-        .groupBy("query_id", "cand_id")
-        .agg(F.sum(F.col("qq") * F.col("q")).alias("dot"))
-    )
-    qn = norms2(qc, "query_id").withColumnRenamed("n2", "qn2")
-    cn = norms2(cc, "cand_id").withColumnRenamed("n2", "cn2")
-    cos = F.col("dot") / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("cn2")))
-    scored = dots.join(F.broadcast(qn), "query_id").join(cn, "cand_id").select(
-        "query_id", "cand_id", cos.alias("cos")
+        .select("query_id", "cand_id", cos.alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
     return (

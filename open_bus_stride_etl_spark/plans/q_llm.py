@@ -28,12 +28,12 @@ _SQL_SHINGLES = r"""
 norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
 words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
 sh AS (
-  SELECT DISTINCT doc_id, s.shingle
+  SELECT doc_id, s.shingle
   FROM words, LATERAL (
     SELECT unnest(list_transform(range(1, len(w) - 1),
                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle) s
 ),
-hashed AS (SELECT doc_id, shingle,
+hashed AS (SELECT DISTINCT doc_id,
                   CAST(('0x' || substr(md5(shingle), 1, 10)) AS BIGINT) AS h
            FROM sh)
 """
@@ -52,7 +52,7 @@ _SQL_JACCARD = """
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM hashed GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM hashed a JOIN hashed b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 jac AS (
