@@ -99,6 +99,43 @@ def cosine_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the semantic-dedup stage of
+    an LLM data pipeline): pairs sharing a sign-LSH bucket whose cosine
+    is >= threshold. Bucketing makes candidate generation an equi-join —
+    linear in bucket occupancy, never all-pairs — and true near-dups
+    (cos ~ 1) agree on almost every sign bit, so recall at high
+    thresholds is excellent. Output: doc_a < doc_b, cos."""
+    v = emb.select(
+        F.col(id_col),
+        sign_lsh_bucket(vec_col, bits).alias("bucket"),
+        quantized_vec(vec_col).alias("_v"),
+    ).withColumn("_n2", _dot(F.col("_v"), F.col("_v")))
+    a, b = v.alias("a"), v.alias("b")
+    cos = _dot(F.col("a._v"), F.col("b._v")) / (
+        F.sqrt(F.col("a._n2")) * F.sqrt(F.col("b._n2"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            cos.alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def sign_lsh_bucket(vec_col: str = "embedding", bits: int = 8) -> "F.Column":
     """Bucket id from the sign pattern of the first ``bits`` dimensions
     (axis-aligned hyperplane LSH — deterministic, engine-portable)."""

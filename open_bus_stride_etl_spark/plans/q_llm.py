@@ -350,6 +350,39 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup: embedding-cosine near-duplicates (semantic dedup)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_embedding_cosine",
+    "WITH " + _SQL_COMP + f""",
+    bk AS (SELECT vec_id, {_SQL_BUCKET} AS bucket FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT p.doc_a, p.doc_b, SUM(ca.q * cb.q) AS dot
+      FROM pairs p
+      JOIN comp ca ON ca.vec_id = p.doc_a
+      JOIN comp cb ON cb.vec_id = p.doc_b AND cb.pos = ca.pos
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
+    FROM dots JOIN n2 na ON na.vec_id = doc_a JOIN n2 nb ON nb.vec_id = doc_b
+    WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.25
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs over the embeddings table. The 0.25
+    threshold is tuned to this synthetic corpus (random-ish vectors — a
+    real pipeline dedups at ~0.95); the operator shape is what matters:
+    LSH-bucketed candidates, exact integer-quantized cosine scoring."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.embedding_near_dup_pairs(emb, threshold=0.25)
+
+
+# ---------------------------------------------------------------------------
 # Multimodal: binary payload plumbing through Arrow-batched pandas
 # ---------------------------------------------------------------------------
 

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..operators.ledger import missing_dates
 from ..operators.stats import status_counts, validate_freshness
 from ..sources import stride_lake as lake
+from ..sources.artifacts import register_artifact
 from ..sources.csv_package import publish_if_changed, read_manifest
 from . import stride
 from .tasks import task
@@ -245,6 +246,54 @@ def siri_hourly_update_packages(
         scanned += 1
         hour -= datetime.timedelta(hours=1)
     return {"hours_scanned": scanned, **counts}
+
+
+@task("update-areas-fake-gtfs", cadence="daily")
+def update_areas_fake_gtfs(
+    spark: SparkSession, base_dir: str, areas_file: str | None = None, out_dir: str | None = None
+):
+    """urbanaccess/update_areas_fake_gtfs.py:19-72 — per configured area
+    (bbox), extract the stops inside the box and publish a per-area
+    "fake GTFS" package, registered as an artifact. The bbox predicate is
+    a pure column filter (SURVEY.md §2.2 P9); the YAML area config
+    (areas.yaml:1-17) is the S13 config source."""
+    areas = _load_areas(areas_file)
+    out_dir = out_dir or os.path.join(base_dir, "fake_gtfs")
+    gtfs_stops = lake.read_table(spark, base_dir, "gtfs_stop")
+    metrics = {}
+    for name, bbox in areas.items():
+        in_box = gtfs_stops.where(
+            F.col("lon").between(bbox["min_lon"], bbox["max_lon"])
+            & F.col("lat").between(bbox["min_lat"], bbox["max_lat"])
+        )
+        res = publish_if_changed(in_box, os.path.join(out_dir, name), f"{name}-fake-gtfs")
+        if res["status"] != "skipped":
+            register_artifact(
+                spark,
+                base_dir,
+                f"fake-gtfs-{name}",
+                os.path.join(out_dir, name, f"{name}-fake-gtfs.zip"),
+                metadata={"area": name, **bbox, "rows": res["row_count"]},
+            )
+        metrics[name] = {"status": res["status"], "rows": res["row_count"]}
+    return {"areas": metrics}
+
+
+def _load_areas(areas_file: str | None) -> dict:
+    """Area bboxes from YAML (if available) or JSON; the reference ships
+    areas.yaml with (min_lon, min_lat, max_lon, max_lat) per area."""
+    if areas_file is None:
+        return {}
+    with open(areas_file) as fh:
+        text = fh.read()
+    try:
+        import yaml  # noqa: PLC0415
+
+        return yaml.safe_load(text)
+    except ImportError:
+        import json as _json  # noqa: PLC0415
+
+        return _json.loads(text)
 
 
 @task("stats-collect", cadence="daily", validate=False)

@@ -1,0 +1,156 @@
+"""Structured Streaming tests: the streaming variants must compute the
+same aggregates as the batch operators on the same data, and the custom
+stateful ride tracker must accumulate state across micro-batches and
+finalize rides via event-time timeout (the settle guard)."""
+
+import datetime
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_bus_stride_etl_spark.streaming import incremental as si
+from tests import stride_fixtures
+
+LOC_SCHEMA = (
+    "id long, siri_ride_stop_id long, siri_snapshot_id long, recorded_at_time timestamp, "
+    "lat double, lon double, bearing int, velocity int, distance_from_journey_start int, "
+    "distance_from_siri_ride_stop_meters double"
+)
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return stride_fixtures.build(spark)
+
+
+@pytest.fixture(scope="module")
+def loc_stream_dir(spark, tables, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("loc_stream"))
+    tables["siri_vehicle_location"].coalesce(1).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _run_to_memory(df, name, mode, spark):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/ckpt_{name}_{time.time_ns()}")
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stream_ride_first_last_matches_batch(spark, tables, loc_stream_dir):
+    stream = spark.readStream.schema(LOC_SCHEMA).parquet(loc_stream_dir)
+    out = _run_to_memory(
+        si.stream_ride_first_last(stream, tables["siri_ride_stop"]),
+        "ride_fl", "complete", spark,
+    )
+    got = {
+        r["siri_ride_id"]: (
+            r["first_vehicle_location_id"], r["last_vehicle_location_id"], r["n_points"]
+        )
+        for r in out.collect()
+    }
+    batch = (
+        tables["siri_vehicle_location"]
+        .join(
+            tables["siri_ride_stop"].select(
+                F.col("id").alias("siri_ride_stop_id"), "siri_ride_id"
+            ),
+            on="siri_ride_stop_id",
+        )
+        .groupBy("siri_ride_id")
+        .agg(*si.first_last_aggs("recorded_at_time", "id"))
+    )
+    want = {
+        r["siri_ride_id"]: (
+            r["first_vehicle_location_id"], r["last_vehicle_location_id"], r["n_points"]
+        )
+        for r in batch.collect()
+    }
+    assert got == want and len(got) == 26  # 30 rides - 4 without telemetry
+
+
+def test_stream_hourly_stats_matches_batch(spark, tables, loc_stream_dir):
+    stream = spark.readStream.schema(LOC_SCHEMA).parquet(loc_stream_dir)
+    out = _run_to_memory(si.stream_hourly_stats(stream), "hourly", "complete", spark)
+    got = {r["hour_start"]: (r["min_ts"], r["max_ts"], r["n_rows"]) for r in out.collect()}
+    batch = (
+        tables["siri_vehicle_location"]
+        .where(F.col("recorded_at_time").isNotNull())
+        .groupBy(F.date_trunc("hour", "recorded_at_time").alias("hour_start"))
+        .agg(F.min("recorded_at_time").alias("a"), F.max("recorded_at_time").alias("b"),
+             F.count(F.lit(1)).alias("n"))
+    )
+    want = {r["hour_start"]: (r["a"], r["b"], r["n"]) for r in batch.collect()}
+    assert got == want and len(got) > 5
+
+
+def test_stream_ride_tracker_state_and_finalize(spark, tmp_path):
+    """Three micro-batches: ride 1 accumulates across batches 1-2, then
+    finalizes by event-time timeout in batch 3 once the watermark passes
+    last_ts + settle_hours. Duration = round((last-first)/60) = 30."""
+    D = datetime.datetime
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    batches = [
+        [(1, 1, D(2024, 5, 1, 10, 0)), (2, 1, D(2024, 5, 1, 10, 10))],
+        [(3, 1, D(2024, 5, 1, 10, 30)), (10, 2, D(2024, 5, 20, 8, 0))],
+        [(11, 2, D(2024, 5, 21, 8, 0))],
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "id long, siri_ride_id long, recorded_at_time timestamp"
+        ).coalesce(1)
+        p = str(tmp_path / f"b{i}")
+        df.write.mode("overwrite").parquet(p)
+        part = [f for f in os.listdir(p) if f.startswith("part-")][0]
+        dst = os.path.join(d, f"{i:02d}.parquet")
+        os.rename(os.path.join(p, part), dst)
+        os.utime(dst, (1700000000 + i * 100, 1700000000 + i * 100))
+
+    stream = (
+        spark.readStream.schema("id long, siri_ride_id long, recorded_at_time timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = _run_to_memory(
+        si.stream_ride_tracker(stream, watermark="10 minutes", settle_hours=1),
+        "tracker", "update", spark,
+    )
+    rows = out.collect()
+    snaps = [r for r in rows if r["siri_ride_id"] == 1 and not r["finalized"]]
+    # batch 1 snapshot: 2 points; batch 2 snapshot: 3 points (state
+    # accumulated across micro-batches)
+    assert sorted(r["n_points"] for r in snaps) == [2, 3]
+    assert all(r["first_vehicle_location_id"] == 1 for r in snaps)
+
+    fin = [r for r in rows if r["siri_ride_id"] == 1 and r["finalized"]]
+    assert len(fin) == 1
+    assert fin[0]["last_vehicle_location_id"] == 3
+    assert fin[0]["duration_minutes"] == 30
+
+
+def test_stream_flat_export_smoke(spark, tables, loc_stream_dir):
+    stream = spark.readStream.schema(LOC_SCHEMA).parquet(loc_stream_dir)
+    wide = si.stream_flat_export(
+        stream,
+        tables["siri_ride_stop"],
+        tables["siri_ride"],
+        tables["siri_route"],
+        tables["siri_stop"],
+        tables["gtfs_stop"],
+    )
+    assert wide.isStreaming
+    out = _run_to_memory(wide, "flatstream", "append", spark)
+    n = out.count()
+    assert n == tables["siri_vehicle_location"].where(
+        F.col("recorded_at_time").isNotNull()
+    ).count()
+    assert "hour" in out.columns and "stop_city" in out.columns

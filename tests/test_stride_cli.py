@@ -82,6 +82,31 @@ def test_hourly_packages_sweep(spark, lake_dir, tmp_path):
     assert m2["skipped"] == 3 and m2["created"] == 0
 
 
+def test_update_areas_fake_gtfs(spark, lake_dir, tmp_path):
+    areas = tmp_path / "areas.json"
+    areas.write_text(
+        '{"center": {"min_lon": 34.75, "min_lat": 32.05, "max_lon": 34.85, "max_lat": 32.15}}'
+    )
+    out = str(tmp_path / "fake_gtfs")
+    m = run_task(
+        spark, "update-areas-fake-gtfs", base_dir=lake_dir,
+        areas_file=str(areas), out_dir=out,
+    )
+    assert m["areas"]["center"]["status"] == "created"
+    assert 0 < m["areas"]["center"]["rows"] < 60  # bbox filtered a strict subset
+    from open_bus_stride_etl_spark.sources.artifacts import latest_artifact
+
+    a = latest_artifact(spark, lake_dir, "fake-gtfs-center")
+    assert a is not None and a["url"].endswith("center-fake-gtfs.zip")
+
+    # re-run: unchanged content -> skipped, no new artifact row
+    m2 = run_task(
+        spark, "update-areas-fake-gtfs", base_dir=lake_dir,
+        areas_file=str(areas), out_dir=out,
+    )
+    assert m2["areas"]["center"]["status"] == "skipped"
+
+
 def test_stats_collect(spark, lake_dir):
     m = run_task(spark, "stats-collect", base_dir=lake_dir)
     assert m["snapshot_status_counts"] == {"loaded": 9, "error": 3}
