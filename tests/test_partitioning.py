@@ -1,0 +1,81 @@
+"""Scale-contract tests: the date-partitioned lake layout must give
+partition pruning (the engine's replacement for the reference's
+``gtfs_*.date = X`` index filters — SURVEY.md §1.4/X5), and the banded
+join must stay an equi-join (no cartesian/theta node)."""
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from open_bus_stride_etl_spark.operators.banded_join import banded_priority_join
+from open_bus_stride_etl_spark.sources.lake import write_partitioned
+
+
+def _explain(df, mode="formatted"):
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_date_partition_pruning(spark, tmp_path):
+    rows = [
+        Row(id=i, date=datetime.date(2024, 5, 1 + i % 5), v=float(i)) for i in range(100)
+    ]
+    path = str(tmp_path / "dim")
+    write_partitioned(spark.createDataFrame(rows), path)
+
+    df = spark.read.parquet(path).where(F.col("date") == "2024-05-03")
+    plan = _explain(df)
+    # pruning happened at planning time: only the matching partition dir
+    # is listed, and the data filter does NOT appear as a post-scan filter
+    assert "PartitionFilters" in plan
+    assert plan.count("date=2024-05-03") >= 1 or "isnotnull(date" in plan
+    assert df.count() == 20
+    # all 5 partition dirs exist on disk (dynamic overwrite layout)
+    import os
+
+    assert sorted(d for d in os.listdir(path) if d.startswith("date=")) == [
+        f"date=2024-05-0{i}" for i in range(1, 6)
+    ]
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    path = str(tmp_path / "dim")
+    df1 = spark.createDataFrame(
+        [Row(id=1, date=datetime.date(2024, 5, 1), v=1.0),
+         Row(id=2, date=datetime.date(2024, 5, 2), v=2.0)]
+    )
+    write_partitioned(df1, path)
+    # overwrite ONLY the 05-02 partition; 05-01 must survive
+    df2 = spark.createDataFrame([Row(id=9, date=datetime.date(2024, 5, 2), v=9.0)])
+    write_partitioned(df2, path)
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, 1.0), (9, 9.0)}
+
+
+def test_banded_join_is_equi_join(spark):
+    left = spark.createDataFrame(
+        [Row(lid=i, ts=datetime.datetime(2024, 5, 1, 10, i)) for i in range(30)]
+    )
+    right = spark.createDataFrame(
+        [Row(rid=100 + i, rts=datetime.datetime(2024, 5, 1, 10, i, 30)) for i in range(30)]
+    )
+    out = banded_priority_join(
+        left, right, "ts", "rts", tiers_minutes=[1, 3, 5], left_id="lid", right_id="rid"
+    )
+    plan = _explain(out, "simple")
+    # the time-bin trick must produce hash joins only — a naive interval
+    # join shows up as BroadcastNestedLoopJoin / CartesianProduct
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    rows = {r["lid"]: r for r in out.collect()}
+    # every left row i has two rights 30s away (100+i at +30s and
+    # 100+i-1 at -30s): equal tier and |dt|, so the documented tiebreak
+    # (smallest right id) picks 100+i-1; lid=0 only has the +30s one
+    assert rows[0]["matched_rid"] == 100 and rows[0]["tier"] == 1
+    assert all(
+        rows[i]["matched_rid"] == 100 + i - 1 and rows[i]["tier"] == 1
+        and rows[i]["dt_seconds"] == 30
+        for i in range(1, 30)
+    )
