@@ -136,6 +136,66 @@ def embedding_near_dup_pairs(
     )
 
 
+def ann_ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_pivots: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: an inverted-file index with
+    ``n_pivots`` deterministic pivots (the first vectors by id — a real
+    deployment trains centroids offline; determinism is what makes this
+    oracle-checkable). Every vector is assigned to its nearest pivot
+    (cell); queries only score their own cell's members.
+
+    Scale shape: the pivot table is tiny and broadcast, so assignment is
+    a codegen'd per-row argmax over n_pivots dots — no shuffle; the cell
+    equi-join replaces the all-pairs scan, and per-cell occupancy bounds
+    the scoring work (the same contract as ann_lsh_topk with a different
+    partitioner)."""
+    from pyspark.sql import Window
+
+    pivots = (
+        emb.orderBy(id_col)
+        .limit(n_pivots)
+        .select(F.col(id_col).alias("pivot_id"), quantized_vec(vec_col).alias("_pv"))
+        .withColumn("_pn2", _dot(F.col("_pv"), F.col("_pv")))
+    )
+
+    def assign(df: DataFrame, out_id: str) -> DataFrame:
+        v = df.select(
+            F.col(id_col).alias(out_id), quantized_vec(vec_col).alias("_v")
+        ).withColumn("_n2", _dot(F.col("_v"), F.col("_v")))
+        cos = _dot(F.col("_v"), F.col("_pv")) / (F.sqrt(F.col("_n2")) * F.sqrt(F.col("_pn2")))
+        w = Window.partitionBy(out_id).orderBy(F.col("_pcos").desc(), F.col("pivot_id").asc())
+        return (
+            v.crossJoin(F.broadcast(pivots))
+            .withColumn("_pcos", cos)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(out_id, F.col("pivot_id").alias("cell"), "_v", "_n2")
+        )
+
+    qcells = assign(queries, "query_id").withColumnRenamed("_v", "_qv").withColumnRenamed(
+        "_n2", "_qn2"
+    )
+    ccells = assign(emb, "cand_id")
+    cos = _dot(F.col("_qv"), F.col("_v")) / (F.sqrt(F.col("_qn2")) * F.sqrt(F.col("_n2")))
+    scored = (
+        ccells.join(F.broadcast(qcells), on="cell")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "cos")
+    )
+
+
 def sign_lsh_bucket(vec_col: str = "embedding", bits: int = 8) -> "F.Column":
     """Bucket id from the sign pattern of the first ``bits`` dimensions
     (axis-aligned hyperplane LSH — deterministic, engine-portable)."""

@@ -350,6 +350,57 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Similarity: IVF-bucketed ANN (inverted-file cells, deterministic pivots)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_ivf_topk",
+    "WITH " + _SQL_COMP + """,
+    piv AS (SELECT vec_id AS pivot_id FROM embeddings ORDER BY vec_id LIMIT 8),
+    pd AS (
+      SELECT c.vec_id, p.pivot_id, SUM(c.q * pc.q) AS dot
+      FROM comp c
+      JOIN comp pc ON pc.pos = c.pos
+      JOIN piv p ON pc.vec_id = p.pivot_id
+      GROUP BY 1, 2
+    ),
+    ascored AS (
+      SELECT pd.vec_id, pd.pivot_id, pd.dot / (sqrt(n.n2) * sqrt(pn.n2)) AS cos
+      FROM pd JOIN n2 n ON n.vec_id = pd.vec_id JOIN n2 pn ON pn.vec_id = pd.pivot_id
+    ),
+    cell AS (
+      SELECT vec_id, pivot_id AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, pivot_id) AS rn
+        FROM ascored) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id
+      FROM cell q JOIN cell c ON q.cell = c.cell
+      WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+    ),
+    dots AS (
+      SELECT p.query_id, p.cand_id, SUM(a.q * b.q) AS dot
+      FROM pairs p
+      JOIN comp a ON a.vec_id = p.query_id
+      JOIN comp b ON b.vec_id = p.cand_id AND b.pos = a.pos
+      GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT query_id, cand_id, dot / (sqrt(qa.n2) * sqrt(qb.n2)) AS cos
+      FROM dots JOIN n2 qa ON qa.vec_id = query_id JOIN n2 qb ON qb.vec_id = cand_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+          FROM sc)
+    SELECT query_id, cand_id, rank, cos FROM r WHERE rank <= 3
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return sim.ann_ivf_topk(emb, queries, k=3, n_pivots=8)
+
+
+# ---------------------------------------------------------------------------
 # Dedup: embedding-cosine near-duplicates (semantic dedup)
 # ---------------------------------------------------------------------------
 

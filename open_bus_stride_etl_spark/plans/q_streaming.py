@@ -1,0 +1,122 @@
+"""Oracle-checked Structured Streaming queries.
+
+The reference has no streaming runtime (SURVEY.md §2.9) — these queries
+prove the engine's streaming variants compute EXACTLY the batch answer:
+each runs a real Structured Streaming job (readStream -> watermarked
+aggregation -> availableNow -> memory sink) and is hash-compared against
+a plain batch SQL oracle. Complete-mode output over a bounded source is
+the batch result, so the DuckDB comparison is exact.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..session import configure
+from .registry import query
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events table with the same nanos->timestamp
+    normalization as sources/lake.py:load_table."""
+    configure(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # FileStreamSource requires a directory; the test tables are single
+    # parquet files, so stream a temp dir holding a symlink to the file.
+    src_dir = tempfile.mkdtemp(prefix="events_src_")
+    os.symlink(os.path.abspath(path), os.path.join(src_dir, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    if isinstance(schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    return stream
+
+
+def _run_complete(df: DataFrame, spark: SparkSession) -> DataFrame:
+    name = f"q_stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@query(
+    "streaming_hourly_events",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start,
+           min(ts) AS min_ts, max(ts) AS max_ts,
+           count(*) AS n_rows
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
+    """,
+)
+def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packager's per-hour bookkeeping (§2.4 A9) as a REAL streaming
+    job — tumbling 1h windows with a watermark — whose complete-mode
+    result must hash-match the batch GROUP BY oracle."""
+    from ..streaming.incremental import stream_hourly_stats  # noqa: PLC0415
+
+    agg = stream_hourly_stats(_events_stream(spark, sf_dir), ts_col="ts")
+    return _run_complete(agg, spark)
+
+
+@query(
+    "streaming_user_first_last",
+    """
+    WITH agg AS (
+      SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts, count(*) AS n_points
+      FROM events GROUP BY user_id
+    ),
+    f AS (
+      SELECT e.user_id, min(e.event_id) AS first_event_id
+      FROM events e JOIN agg a ON e.user_id = a.user_id AND e.ts = a.first_ts
+      GROUP BY e.user_id
+    ),
+    l AS (
+      SELECT e.user_id, max(e.event_id) AS last_event_id
+      FROM events e JOIN agg a ON e.user_id = a.user_id AND e.ts = a.last_ts
+      GROUP BY e.user_id
+    )
+    SELECT a.user_id, f.first_event_id, l.last_event_id,
+           a.first_ts, a.last_ts, a.n_points
+    FROM agg a
+    LEFT JOIN f ON f.user_id = a.user_id
+    LEFT JOIN l ON l.user_id = a.user_id
+    """,
+)
+def streaming_user_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first/last event per user (the A4 aggregation under
+    readStream): watermarked groupBy with the exact batch min_by/max_by
+    expressions from streaming/incremental.py:first_last_aggs."""
+    from ..streaming.incremental import first_last_aggs  # noqa: PLC0415
+
+    stream = _events_stream(spark, sf_dir).select(
+        F.col("user_id").alias("siri_ride_id"),
+        F.col("event_id").alias("id"),
+        F.col("ts").alias("recorded_at_time"),
+    )
+    agg = (
+        stream.withWatermark("recorded_at_time", "4 days")
+        .groupBy("siri_ride_id")
+        .agg(*first_last_aggs("recorded_at_time", "id"))
+    )
+    out = _run_complete(agg, spark)
+    return out.select(
+        F.col("siri_ride_id").alias("user_id"),
+        F.col("first_vehicle_location_id").alias("first_event_id"),
+        F.col("last_vehicle_location_id").alias("last_event_id"),
+        F.col("first_ts"),
+        F.col("last_ts"),
+        F.col("n_points"),
+    )

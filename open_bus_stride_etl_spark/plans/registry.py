@@ -222,3 +222,4 @@ def _load_all() -> None:
     from . import q_relational  # noqa: F401
     from . import q_semantics  # noqa: F401
     from . import q_llm  # noqa: F401
+    from . import q_streaming  # noqa: F401
