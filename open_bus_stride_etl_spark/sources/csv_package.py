@@ -63,6 +63,24 @@ def write_package(df: DataFrame, out_dir: str, base_name: str) -> dict:
     return manifest
 
 
+def load_package(spark, out_dir: str, base_name: str) -> "DataFrame":
+    """Read a package back (SURVEY.md §2.1 S4/S5): CSV loaded with an
+    all-string schema first (the reference's CAST_TO_STRINGS strategy,
+    packagers/siri.py:435-437), then cast per the manifest's field types
+    — schema comes from the datapackage contract, never inference."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    manifest = read_manifest(out_dir, base_name)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest for {base_name} in {out_dir}")
+    csv_path = os.path.join(out_dir, f"{base_name}.csv")
+    all_string = ", ".join(f"`{f['name']}` string" for f in manifest["fields"])
+    raw = spark.read.option("header", True).schema(all_string).csv(csv_path)
+    return raw.select(
+        *[F.col(f["name"]).cast(f["type"]).alias(f["name"]) for f in manifest["fields"]]
+    )
+
+
 def read_manifest(out_dir: str, base_name: str) -> dict | None:
     path = os.path.join(out_dir, f"{base_name}-metadata.json")
     if not os.path.exists(path):
