@@ -485,3 +485,78 @@ def ledger_missing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("task_name", F.lit("t"))
     )
     return missing_dates(all_days, ledger, unit_col="date", task_name="t")
+
+
+# ---------------------------------------------------------------------------
+# Analytic extensions the reference never had (SURVEY.md §2.4 note: Spark
+# gives rollup/cube and window frames for free; exactly oracle-checkable)
+# ---------------------------------------------------------------------------
+
+@query(
+    "rollup_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows,
+           GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS grouping_lvl
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals in ONE pass (rollup = partial aggregation
+    reuse — Spark expands grouping sets map-side, no extra scan).
+    Quantity sums in decimal so the subtotal rows are bit-equal across
+    engines (double addition is order-sensitive; decimal is exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(20,2)")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.grouping("l_returnflag") + F.lit(2) * F.grouping("l_linestatus")).alias(
+                "grouping_lvl"
+            ),
+        )
+    )
+
+
+@query(
+    "moving_avg_frame",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg,
+           SUM(CAST(value AS DECIMAL(20,6))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
+    FROM events
+    WHERE ts IS NOT NULL AND user_id % 25 = 0
+    """,
+)
+def moving_avg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAMES (rowsBetween) — the reference emulated windows
+    procedurally and never had frames at all (SURVEY.md §2.5). Decimal
+    accumulation keeps running sums exact across engines; the moving
+    average is exact-decimal SUM then ONE double division (engines
+    disagree on AVG(decimal) internals, not on IEEE division)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & (F.col("user_id") % 25 == 0)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dec = F.col("value").cast("decimal(20,6)")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (
+            F.sum(dec).over(w.rowsBetween(-2, 0)).cast("double")
+            / F.count(F.lit(1)).over(w.rowsBetween(-2, 0))
+        ).alias("mov_avg"),
+        F.sum(dec).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("run_sum"),
+    )
