@@ -110,3 +110,33 @@ def test_frame_sample_plan(spark):
     rows = frame_sample_plan(media, every_n=10).collect()
     assert {r["media_id"] for r in rows} == {1}
     assert [r["frame_no"] for r in rows] == [0, 10, 20]
+
+
+def test_ann_ivf_finds_planted_neighbor(spark):
+    """A vector nearly identical to a query lands in the same IVF cell
+    (same nearest pivot) and ranks first."""
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),   # pivot A
+        Row(vec_id=1, embedding=[0.0, 1.0, 0.0, 0.0]),   # pivot B
+        Row(vec_id=50, embedding=[0.9, 0.05, 0.0, 0.0]),  # query, cell A
+        Row(vec_id=7, embedding=[0.91, 0.04, 0.01, 0.0]),  # planted near-dup
+        Row(vec_id=8, embedding=[0.0, 0.95, 0.1, 0.0]),   # cell B noise
+    ]
+    emb = spark.createDataFrame(rows)
+    q = emb.where(F.col("vec_id") == 50)
+    out = sim.ann_ivf_topk(emb, q, k=2, n_pivots=2).orderBy("rank").collect()
+    assert out[0]["cand_id"] == 7 and out[0]["cos"] > 0.999
+    # cell-B vector (8) must NOT be scored: candidates are cell-local
+    assert all(r["cand_id"] != 8 for r in out)
+
+
+def test_embedding_near_dup_threshold(spark):
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.02, 0.2]),
+        Row(vec_id=2, embedding=[0.99, 0.01, 0.2]),  # near-dup of 1, same sign bits
+        Row(vec_id=3, embedding=[-1.0, 0.5, -0.2]),  # different bucket/sign
+    ]
+    emb = spark.createDataFrame(rows)
+    out = sim.embedding_near_dup_pairs(emb, threshold=0.95, bits=3).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in out] == [(1, 2)]
+    assert out[0]["cos"] > 0.99
