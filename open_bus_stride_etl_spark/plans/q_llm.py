@@ -458,3 +458,85 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
     )
     return fake_decode_stats(media)
+
+
+# ---------------------------------------------------------------------------
+# Capstone: composite corpus-cleaning pipeline (quality ∧ language ∧
+# exact-dedup keeper ∧ not-a-near-dup) in ONE declarative plan
+# ---------------------------------------------------------------------------
+
+_SQL_QUALITY = r"""GREATEST(0, LEAST(10000,
+  LEAST(length(text), 400) * 10
+  - LEAST(CASE WHEN length(text) = 0 THEN 0
+               ELSE CAST(ROUND(10000.0 * (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / length(text)) AS BIGINT) END, 3000)
+  + LEAST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE CAST(ROUND(10000.0 * len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it)\b'))
+                    / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) END, 3000)))"""
+
+_SQL_LANG_CASE = """CASE WHEN GREATEST(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+         WHEN s_en = GREATEST(s_en, s_es, s_de, s_fr) THEN 'en'
+         WHEN s_es = GREATEST(s_es, s_de, s_fr) THEN 'es'
+         WHEN s_de = GREATEST(s_de, s_fr) THEN 'de'
+         ELSE 'fr' END"""
+
+
+@query(
+    "corpus_clean_keep",
+    "WITH " + _SQL_SHINGLES + ", " + _SQL_MINHASH + ", " + _SQL_BUCKETS + ","
+    """
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    """ + _SQL_JACCARD + f""",
+    nd AS (SELECT DISTINCT j.doc_b FROM jac j
+           JOIN cand c ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+           WHERE j.jaccard_bp >= 5000),
+    scored AS (
+      SELECT doc_id, {_SQL_QUALITY} AS quality_bp,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             {_SQL_LANG_SCORES}
+      FROM documents
+    ),
+    langed AS (SELECT doc_id, quality_bp, fp, {_SQL_LANG_CASE} AS predicted_lang FROM scored),
+    k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS min_id FROM langed)
+    SELECT doc_id, quality_bp, predicted_lang FROM k
+    WHERE quality_bp >= 2000 AND predicted_lang IN ('en', 'und')
+      AND doc_id = min_id AND doc_id NOT IN (SELECT doc_b FROM nd)
+    """,
+)
+def corpus_clean_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-pipeline capstone: which documents survive cleaning —
+    quality >= 0.2, language en/und, the min-id keeper of each exact
+    duplicate group, and not the discarded side of a MinHash-LSH near-dup
+    pair (jaccard >= 0.5, keep-smaller-id). One declarative plan chaining
+    four operator families; every stage shares the scan and Catalyst
+    pipelines the filters."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    base = d.select(
+        "doc_id",
+        tx.quality_score_bp(t).alias("quality_bp"),
+        tx.lang_id(t).alias("predicted_lang"),
+        tx.doc_fingerprint(t).alias("fp"),
+    ).withColumn("min_id", F.min("doc_id").over(Window.partitionBy("fp")))
+
+    sigs = dd.minhash_signatures(d)
+    cands = dd.lsh_candidate_pairs(sigs)
+    near_dup_losers = (
+        dd.jaccard_pairs(d, candidates=cands)
+        .where(F.col("jaccard_bp") >= 5000)
+        .select("doc_b")
+        .distinct()
+    )
+    return (
+        base.where(
+            (F.col("quality_bp") >= 2000)
+            & F.col("predicted_lang").isin("en", "und")
+            & (F.col("doc_id") == F.col("min_id"))
+        )
+        .join(near_dup_losers, F.col("doc_id") == F.col("doc_b"), "left_anti")
+        .select("doc_id", "quality_bp", "predicted_lang")
+    )
