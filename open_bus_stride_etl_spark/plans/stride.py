@@ -160,7 +160,14 @@ def update_rides_gtfs(
     )
 
     # -- strategy 1: route + banded time tiers ------------------------------
-    route_pairs = (
+    # Each ride expands only to its COMPATIBLE gtfs_route ids (a small
+    # per-ride fan-out via the broadcast dim join); the per-route
+    # restriction then rides through the banded join as an EQUALITY key,
+    # so candidate pairs are generated by the (time-bin, route) hash join
+    # directly. Materializing ride x every-ride-of-the-route pairs first
+    # and banding afterwards is quadratic-ish in rides-per-route — at 50k
+    # rides that was 49M intermediate rows vs ~100k this way.
+    rides_with_groute = (
         eligible.select("id", "siri_route_id", "scheduled_start_time")
         .join(
             siri_routes.select(
@@ -180,23 +187,25 @@ def update_rides_gtfs(
             ),
             on=["operator_ref", "line_ref", "ride_date"],
         )
-        .join(g_rides, on="gtfs_route_id")
+        .select("id", "gtfs_route_id", "scheduled_start_time")
     )
-    # The ride id rides along as an equality key, so only a ride's OWN
-    # route-compatible gtfs rides are band-matched (the reference's
-    # per-ride correlated subquery, :80-97).
-    route_match = banded_priority_join(
-        route_pairs.select("id", "scheduled_start_time").distinct(),
-        route_pairs.select(
-            F.col("id"), F.col("gride_id"), F.col("start_time")
-        ),
-        left_ts="scheduled_start_time",
-        right_ts="start_time",
-        tiers_minutes=[1, 3, 5],
-        left_id="id",
-        right_id="gride_id",
-        extra_eq_keys=["id"],
-    ).select(F.col("id"), F.col("matched_gride_id").alias("route_match_id"))
+    route_match = (
+        banded_priority_join(
+            rides_with_groute,
+            g_rides.select("gride_id", "gtfs_route_id", "start_time"),
+            left_ts="scheduled_start_time",
+            right_ts="start_time",
+            tiers_minutes=[1, 3, 5],
+            left_id="id",
+            right_id="gride_id",
+            extra_eq_keys=["gtfs_route_id"],
+        )
+        # a ride compatible with several gtfs routes appears once per
+        # route; the window already picked one best match per ride id, so
+        # the duplicates carry identical match columns — collapse them.
+        .select(F.col("id"), F.col("matched_gride_id").alias("route_match_id"))
+        .distinct()
+    )
 
     # -- strategy 2: computed journey_ref key --------------------------------
     rearranged = F.concat(

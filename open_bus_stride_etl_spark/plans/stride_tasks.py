@@ -34,18 +34,27 @@ from . import stride
 from .tasks import task
 
 
-def _set_count(before: DataFrame, after: DataFrame, col: str) -> int:
-    """How many rows gained a non-null ``col`` — the reference's per-task
-    UPDATE counters (SURVEY.md §2.4 A8), as two cheap aggregates."""
-    return (
-        after.where(F.col(col).isNotNull()).count()
-        - before.where(F.col(col).isNotNull()).count()
-    )
+def _nonnull(df: DataFrame, col: str) -> int:
+    """Non-null count of one column (column-pruned scan)."""
+    return df.where(F.col(col).isNotNull()).count()
+
+
+def _write_and_count(
+    spark: SparkSession, out: DataFrame, base_dir: str, name: str, col: str, n_before: int
+) -> tuple[int, int]:
+    """Write the new snapshot, then derive the 'rows updated' metric from
+    the WRITTEN table (one plan execution total). Counting on the unwritten
+    plan would execute the whole enrichment twice — once for the metric,
+    once for the write. Returns (rows, newly_set)."""
+    rows = lake.overwrite_table(out, base_dir, name)
+    n_after = _nonnull(lake.read_table(spark, base_dir, name), col)
+    return rows, n_after - n_before
 
 
 @task("siri-add-ride-durations", cadence="hourly", num_days=4)
 def siri_add_ride_durations(spark: SparkSession, base_dir: str, min_date: str, max_date: str):
     rides = lake.read_table(spark, base_dir, "siri_ride")
+    n_before = _nonnull(rides, "updated_duration_minutes")
     out = stride.add_ride_durations(
         rides,
         lake.read_table(spark, base_dir, "siri_ride_stop"),
@@ -54,14 +63,16 @@ def siri_add_ride_durations(spark: SparkSession, base_dir: str, min_date: str, m
         max_date,
         now=F.current_timestamp(),
     )
-    n_updated = _set_count(rides, out, "updated_duration_minutes")
-    n = lake.overwrite_table(out, base_dir, "siri_ride")
+    n, n_updated = _write_and_count(
+        spark, out, base_dir, "siri_ride", "updated_duration_minutes", n_before
+    )
     return {"rows": n, "updated_duration": n_updated}
 
 
 @task("siri-update-ride-stops-gtfs", cadence="hourly", num_days=1)
 def siri_update_ride_stops_gtfs(spark: SparkSession, base_dir: str, min_date: str, max_date: str):
     ride_stops = lake.read_table(spark, base_dir, "siri_ride_stop")
+    n_before = _nonnull(ride_stops, "gtfs_stop_id")
     out = stride.update_ride_stops_gtfs(
         ride_stops,
         lake.read_table(spark, base_dir, "siri_ride"),
@@ -70,14 +81,16 @@ def siri_update_ride_stops_gtfs(spark: SparkSession, base_dir: str, min_date: st
         min_date,
         max_date,
     )
-    n_matched = _set_count(ride_stops, out, "gtfs_stop_id")
-    n = lake.overwrite_table(out, base_dir, "siri_ride_stop")
+    n, n_matched = _write_and_count(
+        spark, out, base_dir, "siri_ride_stop", "gtfs_stop_id", n_before
+    )
     return {"rows": n, "matched_gtfs_stops": n_matched}
 
 
 @task("siri-update-rides-gtfs", cadence="hourly", num_days=1)
 def siri_update_rides_gtfs(spark: SparkSession, base_dir: str, min_date: str, max_date: str):
     rides = lake.read_table(spark, base_dir, "siri_ride")
+    n_before = _nonnull(rides, "gtfs_ride_id")
     out = stride.update_rides_gtfs(
         rides,
         lake.read_table(spark, base_dir, "siri_route"),
@@ -86,8 +99,9 @@ def siri_update_rides_gtfs(spark: SparkSession, base_dir: str, min_date: str, ma
         min_date,
         max_date,
     )
-    n_matched = _set_count(rides, out, "gtfs_ride_id")
-    n = lake.overwrite_table(out, base_dir, "siri_ride")
+    n, n_matched = _write_and_count(
+        spark, out, base_dir, "siri_ride", "gtfs_ride_id", n_before
+    )
     return {"rows": n, "matched_gtfs_rides": n_matched}
 
 
@@ -96,6 +110,7 @@ def siri_update_ride_stops_vehicle_locations(
     spark: SparkSession, base_dir: str, min_date: str, max_date: str
 ):
     ride_stops = lake.read_table(spark, base_dir, "siri_ride_stop")
+    n_before = _nonnull(ride_stops, "nearest_siri_vehicle_location_id")
     out = stride.update_ride_stops_vehicle_locations(
         ride_stops,
         lake.read_table(spark, base_dir, "siri_ride"),
@@ -104,8 +119,9 @@ def siri_update_ride_stops_vehicle_locations(
         min_date,
         max_date,
     )
-    n_matched = _set_count(ride_stops, out, "nearest_siri_vehicle_location_id")
-    n = lake.overwrite_table(out, base_dir, "siri_ride_stop")
+    n, n_matched = _write_and_count(
+        spark, out, base_dir, "siri_ride_stop", "nearest_siri_vehicle_location_id", n_before
+    )
     return {"rows": n, "matched_nearest_locations": n_matched}
 
 
