@@ -243,7 +243,7 @@ def siri_hourly_update_packages(
     force_cutoff = bounds["hi"] - datetime.timedelta(days=force_days)
 
     t0 = time.time()
-    counts = {"created": 0, "updated": 0, "skipped": 0, "skipped_exists": 0}
+    counts = {"created": 0, "updated": 0, "skipped": 0, "skipped_exists": 0, "empty": 0}
     hour = bounds["hi"]
     scanned = 0
     while hour >= bounds["lo"]:
@@ -262,6 +262,102 @@ def siri_hourly_update_packages(
         scanned += 1
         hour -= datetime.timedelta(hours=1)
     return {"hours_scanned": scanned, **counts}
+
+
+@task("siri-packages-backfill", cadence="daily")
+def siri_packages_backfill(
+    spark: SparkSession, base_dir: str, out_dir: str | None = None
+):
+    """The packager backfill as ONE distributed job instead of an hour
+    loop (SURVEY.md §3.3: "the whole backfill can also run as one job
+    partitioned by hour"). Two Spark jobs total for ANY number of hours:
+
+    1. one aggregation computes every hour's order-insensitive content
+       hash (the same sum-of-md5-longs as csv_package);
+    2. one partitioned write materializes ONLY the hours whose hash
+       differs from their existing manifest.
+
+    The newest-first loop (siri-hourly-update-packages) remains the
+    incremental path; this is the catch-up path, where per-hour loop
+    latency (2 jobs x N hours) would dominate at scale."""
+    import glob  # noqa: PLC0415
+    import json  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+    import zipfile  # noqa: PLC0415
+
+    from ..functions.hashing import hex_to_long, row_md5  # noqa: PLC0415
+
+    out_dir = out_dir or os.path.join(base_dir, "packages")
+    wide = stride.siri_flat_export(
+        lake.read_table(spark, base_dir, "siri_vehicle_location"),
+        lake.read_table(spark, base_dir, "siri_ride_stop"),
+        lake.read_table(spark, base_dir, "siri_ride"),
+        lake.read_table(spark, base_dir, "siri_route"),
+        lake.read_table(spark, base_dir, "siri_stop"),
+        lake.read_table(spark, base_dir, "gtfs_stop"),
+        "1970-01-01",
+        "9999-01-01",
+    ).withColumn("_hour", F.date_format(F.date_trunc("hour", "recorded_at_time"), "yyyy-MM-dd.HH"))
+
+    data_cols = [c for c in wide.columns if c != "_hour"]
+    h = hex_to_long(F.substring(row_md5(*[F.col(c) for c in data_cols]), 1, 10))
+    hashes = {
+        r["_hour"]: (r["h"] or 0) + r["n"]
+        for r in wide.groupBy("_hour")
+        .agg(F.sum(h).alias("h"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    changed = [
+        hour
+        for hour, chash in hashes.items()
+        if (read_manifest(out_dir, hour) or {}).get("hash") != chash
+    ]
+    counts = {"hours_total": len(hashes), "skipped": len(hashes) - len(changed), "written": 0}
+    if not changed:
+        return counts
+
+    tmp = tempfile.mkdtemp(prefix="backfill_")
+    try:
+        (
+            wide.where(F.col("_hour").isin(changed))
+            .repartition("_hour")
+            .write.mode("overwrite")
+            .option("header", True)
+            .partitionBy("_hour")
+            .csv(tmp)
+        )
+        fields = [
+            {"name": c, "type": wide.schema[c].dataType.simpleString()} for c in data_cols
+        ]
+        for hour in changed:
+            hdir = os.path.join(tmp, f"_hour={hour}")
+            parts = sorted(glob.glob(os.path.join(hdir, "part-*.csv")))
+            os.makedirs(out_dir, exist_ok=True)
+            csv_path = os.path.join(out_dir, f"{hour}.csv")
+            n_rows = 0
+            with open(csv_path, "wb") as out:
+                out.write((",".join(f["name"] for f in fields) + "\n").encode())
+                for p in parts:
+                    with open(p, "rb") as fh:
+                        fh.readline()  # per-shard header
+                        for line in fh:
+                            out.write(line)
+                            n_rows += 1
+            manifest = {
+                "name": hour, "fields": fields, "row_count": n_rows, "hash": hashes[hour]
+            }
+            with open(os.path.join(out_dir, f"{hour}-metadata.json"), "w") as fh:
+                json.dump(manifest, fh, indent=1, sort_keys=True)
+            with zipfile.ZipFile(
+                os.path.join(out_dir, f"{hour}.zip"), "w", zipfile.ZIP_DEFLATED, compresslevel=9
+            ) as zf:
+                zf.write(csv_path, f"{hour}.csv")
+                zf.write(os.path.join(out_dir, f"{hour}-metadata.json"), f"{hour}-metadata.json")
+            counts["written"] += 1
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return counts
 
 
 @task("update-areas-fake-gtfs", cadence="daily")

@@ -27,7 +27,7 @@ import zipfile
 
 from pyspark.sql import DataFrame
 
-from ..functions.hashing import content_hash_agg
+from ..functions.hashing import content_hash_agg, content_hash_and_count
 
 
 def write_package(df: DataFrame, out_dir: str, base_name: str) -> dict:
@@ -91,12 +91,16 @@ def read_manifest(out_dir: str, base_name: str) -> dict | None:
 
 def publish_if_changed(df: DataFrame, out_dir: str, base_name: str, zip_it: bool = True) -> dict:
     """Effectively-once publish: skip when the existing manifest hash
-    matches (packagers/siri.py:194-202). Returns
-    {status: created|updated|skipped, hash, row_count}."""
+    matches (packagers/siri.py:194-202); an hour with no rows and no
+    prior package is a no-op ('empty'), so the hour sweep and the
+    one-job backfill (which only sees hours that have data) agree.
+    Returns {status: created|updated|skipped|empty, hash, row_count}."""
     existing = read_manifest(out_dir, base_name)
-    chash = content_hash_agg(df)
+    chash, n = content_hash_and_count(df)
     if existing is not None and existing.get("hash") == chash:
         return {"status": "skipped", "hash": chash, "row_count": existing.get("row_count")}
+    if existing is None and n == 0:
+        return {"status": "empty", "hash": chash, "row_count": 0}
     manifest = write_package(df, out_dir, base_name)
     if zip_it:
         zpath = os.path.join(out_dir, f"{base_name}.zip")

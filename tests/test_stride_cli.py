@@ -74,12 +74,31 @@ def test_hourly_packages_sweep(spark, lake_dir, tmp_path):
         spark, "siri-hourly-update-packages", base_dir=lake_dir, out_dir=out, max_hours=3
     )
     assert m["hours_scanned"] == 3
-    assert m["created"] == 3
-    # re-run: identical content -> hash-compare skips all three
+    # every hour with data becomes a package; dataless hours are no-ops
+    assert m["created"] + m["empty"] == 3 and m["created"] >= 1
+    # re-run: identical content -> hash-compare skips everything written
     m2 = run_task(
         spark, "siri-hourly-update-packages", base_dir=lake_dir, out_dir=out, max_hours=3
     )
-    assert m2["skipped"] == 3 and m2["created"] == 0
+    assert m2["skipped"] == m["created"] and m2["empty"] == m["empty"] and m2["created"] == 0
+
+
+def test_packages_backfill_one_job(spark, lake_dir, tmp_path):
+    out = str(tmp_path / "packages")
+    m = run_task(spark, "siri-packages-backfill", base_dir=lake_dir, out_dir=out)
+    assert m["written"] == m["hours_total"] > 5 and m["skipped"] == 0
+    # idempotent: second backfill writes nothing
+    m2 = run_task(spark, "siri-packages-backfill", base_dir=lake_dir, out_dir=out)
+    assert m2["written"] == 0 and m2["skipped"] == m["hours_total"]
+    # cross-path compatibility: the incremental hourly sweep sees the
+    # backfill's manifests as identical content and skips
+    m3 = run_task(
+        spark, "siri-hourly-update-packages", base_dir=lake_dir, out_dir=out, max_hours=3
+    )
+    # hours with data hash-match the backfill's manifests; dataless hours
+    # are no-ops — nothing is ever created or rewritten
+    assert m3["skipped"] + m3["empty"] == 3
+    assert m3["created"] == 0 and m3["updated"] == 0
 
 
 def test_update_areas_fake_gtfs(spark, lake_dir, tmp_path):
