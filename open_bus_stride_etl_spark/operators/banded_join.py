@@ -23,7 +23,7 @@ from O(n·m) to O(n·k) where k is the per-bin occupancy.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -80,28 +80,26 @@ def banded_priority_join(
         .join(r_binned.alias("r"), cond, "inner")
         .where(tier_expr.isNotNull())
         .select(
-            *[F.col(f"l.{c}") for c in left.columns],
-            F.col(f"r.{right_id}").alias(f"matched_{right_id}"),
+            F.col(f"l.{left_id}").alias(left_id),
             tier_expr.alias("tier"),
             dt.cast("long").alias("dt_seconds"),
+            F.col(f"r.{right_id}").alias(f"matched_{right_id}"),
         )
-        # The ±1-bin replication can produce the same (left, right) pair
-        # twice when a right row's home bin and neighbor bin both match;
-        # dedup before ranking.
-        .dropDuplicates([left_id, f"matched_{right_id}"])
     )
 
-    w = Window.partitionBy(left_id).orderBy(
-        F.col("tier").asc(), F.col("dt_seconds").asc(), F.col(f"matched_{right_id}").asc()
-    )
-    best = (
-        pairs.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+    # Best match = lexicographic MIN of (tier, |dt|, right_id) per left
+    # key — an aggregation, NOT a row_number window: partial (map-side)
+    # aggregation collapses each task's candidate pairs before the
+    # shuffle, where a window would sort-shuffle every pair. Duplicate
+    # pairs from the ±1-bin replication are harmless under MIN, so the
+    # dedup shuffle disappears too.
+    best = pairs.groupBy(left_id).agg(
+        F.min(F.struct("tier", "dt_seconds", f"matched_{right_id}")).alias("_best")
+    ).select(
+        left_id,
+        F.col(f"_best.matched_{right_id}").alias(f"matched_{right_id}"),
+        F.col("_best.tier").alias("tier"),
+        F.col("_best.dt_seconds").alias("dt_seconds"),
     )
     # Left-outer: keep unmatched left rows with NULL match columns.
-    return left.join(
-        best.select(left_id, f"matched_{right_id}", "tier", "dt_seconds"),
-        on=left_id,
-        how="left",
-    )
+    return left.join(best, on=left_id, how="left")
