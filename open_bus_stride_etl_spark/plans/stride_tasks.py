@@ -408,6 +408,31 @@ def _load_areas(areas_file: str | None) -> dict:
         return _json.loads(text)
 
 
+@task("siri-storage-backup-cleanup", cadence="daily", older_than_days=7)
+def siri_storage_backup_cleanup(
+    spark: SparkSession, base_dir: str, storage_root: str | None = None,
+    backup_dir: str | None = None, older_than_days: int = 7,
+):
+    """siri/storage_backup_cleanup.py:46-73 — archive dated raw-SIRI dirs
+    older than the retention window to the backup store, prune locals."""
+    from ..sources.artifacts import backup_and_cleanup  # noqa: PLC0415
+
+    storage_root = storage_root or os.path.join(base_dir, "siri-storage")
+    backup_dir = backup_dir or os.path.join(base_dir, "siri-storage-backup")
+    if not os.path.isdir(storage_root):
+        return {"archived_days": 0, "pruned_dirs": 0}
+    return backup_and_cleanup(storage_root, backup_dir, older_than_days=older_than_days)
+
+
+@task("db-copy-backup", cadence="daily")
+def db_copy_backup(spark: SparkSession, base_dir: str, src_path: str):
+    """db/copy_backup_to_s3.py:16-26 — copy a DB dump into the artifact
+    store under a collision-free name (the __{i} suffix probe) and record
+    it in the registry."""
+    r = register_artifact(spark, base_dir, "db-backup", src_path)
+    return {"url": r["url"], "file_size": r["file_size"]}
+
+
 @task("stats-collect", cadence="daily", validate=False)
 def stats_collect(spark: SparkSession, base_dir: str, validate: bool = False):
     """stats/api.py:18-117 — snapshot status counts + freshness; with

@@ -140,9 +140,34 @@ def test_cli_list_and_registry():
         "siri-update-ride-stops-vehicle-locations",
         "gtfs-update-ride-aggregations",
         "siri-hourly-update-packages",
+        "siri-packages-backfill",
+        "siri-storage-backup-cleanup",
+        "db-copy-backup",
+        "update-areas-fake-gtfs",
         "stats-collect",
     }
     assert expected <= set(REGISTRY)
+
+
+def test_backup_tasks(spark, lake_dir, tmp_path):
+    import datetime
+    import os
+
+    root = tmp_path / "siri-storage"
+    d = root / "2024" / "04" / "01"
+    d.mkdir(parents=True)
+    (d / "x.json").write_text("{}")
+    m = run_task(
+        spark, "siri-storage-backup-cleanup", base_dir=lake_dir,
+        storage_root=str(root), backup_dir=str(tmp_path / "bk"),
+        older_than_days=7,
+    )
+    assert m["archived_days"] == (1 if datetime.date.today() > datetime.date(2024, 4, 8) else 0)
+
+    dump = tmp_path / "dump.sql"
+    dump.write_text("select 1;")
+    m2 = run_task(spark, "db-copy-backup", base_dir=lake_dir, src_path=str(dump))
+    assert os.path.exists(m2["url"]) and m2["file_size"] == 9
 
 
 def test_cli_run(spark, lake_dir):
