@@ -55,7 +55,19 @@ def run_task(spark: SparkSession, name: str, **params) -> dict:
         merged["min_date"] = str(min_d)
         merged["max_date"] = str(max_d)
     t0 = time.time()
-    metrics = t.fn(spark, **merged) or {}
+    try:
+        metrics = t.fn(spark, **merged) or {}
+    except Exception as exc:
+        # error capture in the run report (the reference's ledger error
+        # column, idempotent_process_gtfs_data.py:60-66) — record, then
+        # propagate so the scheduler sees the failure.
+        err = {
+            "task": name,
+            "elapsed_sec": round(time.time() - t0, 3),
+            "error": f"{type(exc).__name__}: {exc}",
+        }
+        print(json.dumps(err, default=str))
+        raise
     metrics = {"task": name, "elapsed_sec": round(time.time() - t0, 3), **metrics}
     print(json.dumps(metrics, default=str))
     return metrics

@@ -101,6 +101,21 @@ def stream_hourly_stats(
     )
 
 
+def stream_exact_dedup(
+    docs: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: keep the first arrival of each key,
+    dropping re-arrivals across micro-batches.
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state by the
+    watermark — the streaming analog of the batch hash-groupBy dedup,
+    with state TTL instead of unbounded memory (at 100 TB/day the TTL IS
+    the feasibility condition)."""
+    return docs.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: ride lifecycle tracking with settle/stale
 # ---------------------------------------------------------------------------

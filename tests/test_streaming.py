@@ -154,3 +154,54 @@ def test_stream_flat_export_smoke(spark, tables, loc_stream_dir):
         F.col("recorded_at_time").isNotNull()
     ).count()
     assert "hour" in out.columns and "stop_city" in out.columns
+
+
+def test_stream_exact_dedup_across_batches(spark, tmp_path):
+    """Duplicate keys arriving in different micro-batches are dropped;
+    the first arrival survives."""
+    D = datetime.datetime
+    d = str(tmp_path / "dd")
+    os.makedirs(d)
+    batches = [
+        [(1, "a", D(2024, 5, 1, 10, 0)), (2, "b", D(2024, 5, 1, 10, 1))],
+        [(3, "a", D(2024, 5, 1, 10, 5)), (4, "c", D(2024, 5, 1, 10, 6))],
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "id long, k string, ts timestamp").coalesce(1)
+        p = str(tmp_path / f"db{i}")
+        df.write.mode("overwrite").parquet(p)
+        part = [f for f in os.listdir(p) if f.startswith("part-")][0]
+        dst = os.path.join(d, f"{i:02d}.parquet")
+        os.rename(os.path.join(p, part), dst)
+        os.utime(dst, (1700000000 + i * 100, 1700000000 + i * 100))
+
+    stream = (
+        spark.readStream.schema("id long, k string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = _run_to_memory(
+        si.stream_exact_dedup(stream, ["k"], "ts", watermark="1 hour"),
+        "dedup_stream", "append", spark,
+    )
+    rows = sorted((r["k"], r["id"]) for r in out.collect())
+    # key 'a' re-arrived in batch 2 (id 3) and was dropped
+    assert rows == [("a", 1), ("b", 2), ("c", 4)]
+
+
+def test_run_task_error_capture(spark, capsys):
+    from open_bus_stride_etl_spark.plans.tasks import run_task, task
+
+    @task("t-fails")
+    def _boom(spark):
+        raise ValueError("nope")
+
+    import json
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        run_task(spark, "t-fails")
+    out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    rec = json.loads(out[-1])
+    assert rec["task"] == "t-fails" and rec["error"] == "ValueError: nope"
