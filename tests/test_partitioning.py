@@ -79,3 +79,36 @@ def test_banded_join_is_equi_join(spark):
         and rows[i]["dt_seconds"] == 30
         for i in range(1, 30)
     )
+
+
+def test_dynamic_partition_pruning_on_dim_join(spark, tmp_path):
+    """A join against the date-partitioned dimension must inject a
+    dynamic-pruning subquery into the dim scan — the runtime analog of
+    the reference's hand-written `gtfs_*.date = X` filters (X5)."""
+    dim = spark.createDataFrame(
+        [Row(id=i, date=datetime.date(2024, 5, 1 + i % 5), v=i) for i in range(1000)]
+    )
+    path = str(tmp_path / "dim")
+    write_partitioned(dim, path)
+    fact = spark.createDataFrame(
+        [Row(fid=i, date=datetime.date(2024, 5, 1 + i % 2), val=float(i)) for i in range(5000)]
+    )
+    j = fact.where(F.col("val") < 100).join(spark.read.parquet(path), on="date")
+    plan = _explain(j)
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_scan_pushdown_canaries(spark, sf_dir):
+    """Filters and projections of representative queries must reach the
+    parquet scan: a regression here silently multiplies scan volume."""
+    from open_bus_stride_etl_spark.plans import registry
+
+    qs = registry.queries()
+    plan = _explain(qs["time_window_halfopen"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    # column pruning: the events scan must not read the wide props column
+    scan_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_schemas and all("props" not in l for l in scan_schemas)
+
+    plan2 = _explain(qs["like_prefix"](spark, sf_dir))
+    assert "StringStartsWith" in plan2 or "PushedFilters: [" in plan2
