@@ -282,6 +282,24 @@ def test_stats_validations(spark, tables):
     assert [r["date"] for r in bad] == [datetime.date(2024, 5, 9)]
     assert bad[0]["pct_complete"] == 50.0
 
+    # the 90% threshold boundary (FIXTURES.md §B.13): 89% flagged,
+    # exactly 90% and 91% not (reference uses strict '< 90')
+    def pct_rides(date_day, n_complete, n_total):
+        d = datetime.date(2024, 6, date_day)
+        t0 = datetime.datetime(2024, 6, date_day)
+        return [
+            (date_day * 1000 + i, d, t0 if i < n_complete else None,
+             t0 if i < n_complete else None)
+            for i in range(n_total)
+        ]
+
+    boundary = spark.createDataFrame(
+        pct_rides(1, 89, 100) + pct_rides(2, 90, 100) + pct_rides(3, 91, 100),
+        "id long, date date, start_time timestamp, end_time timestamp",
+    )
+    flagged = [r["date"] for r in incomplete_dates(boundary).collect()]
+    assert flagged == [datetime.date(2024, 6, 1)]
+
 
 def test_task_registry_window_parsing(spark):
     calls = {}
