@@ -205,3 +205,31 @@ def test_run_task_error_capture(spark, capsys):
     out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
     rec = json.loads(out[-1])
     assert rec["task"] == "t-fails" and rec["error"] == "ValueError: nope"
+
+
+def test_stream_session_windows_match_batch(spark, tables, loc_stream_dir):
+    """Native session windows work identically under readStream: the
+    complete-mode streaming result equals the batch sessionization."""
+    gap = "30 minutes"
+    stream = spark.readStream.schema(LOC_SCHEMA).parquet(loc_stream_dir)
+
+    def sessions(df):
+        return (
+            df.where(F.col("recorded_at_time").isNotNull())
+            .groupBy(
+                F.session_window("recorded_at_time", gap).alias("w"),
+                "siri_ride_stop_id",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "siri_ride_stop_id", F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n"
+            )
+        )
+
+    got = _run_to_memory(
+        sessions(stream.withWatermark("recorded_at_time", "1 hour")),
+        "sess_stream", "complete", spark,
+    )
+    want = sessions(tables["siri_vehicle_location"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
