@@ -92,3 +92,72 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
             ),
         )
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def fake_resize(media: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Resize *plumbing*: aspect-preserving dimension scaling in an
+    Arrow-batched pandas stage; a real implementation replaces the
+    payload passthrough with actual pixel resampling. Metadata math is
+    real (and the part a planner cares about)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            scale = (
+                pd.concat([pdf["width"], pdf["height"]], axis=1).max(axis=1) / float(max_dim)
+            ).clip(lower=1.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": (pdf["width"] / scale).round().astype("Int32"),
+                    "height": (pdf["height"] / scale).round().astype("Int32"),
+                    "payload": pdf["payload"],  # real resize plugs in here
+                }
+            )
+
+    return media.select("media_id", "width", "height", "payload").mapInPandas(
+        batches, RESIZE_SCHEMA
+    )
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def fake_feature_extract(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature-extraction plumbing: a deterministic byte-histogram
+    "embedding" (dim buckets over byte values, L1-normalized) standing in
+    for a real vision/audio encoder. The output column is the same
+    array<float> the similarity operators consume, so media rows flow
+    straight into cosine_topk / ann_lsh_topk / embedding_near_dup_pairs."""
+    bucket = 256 // dim
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def embed(b):
+                if b is None or len(b) == 0:
+                    return None
+                hist = [0] * dim
+                for byte in b:
+                    hist[min(byte // bucket, dim - 1)] += 1
+                total = float(len(b))
+                return [float(h) / total for h in hist]
+
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "embedding": pdf["payload"].map(embed)}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, FEATURES_SCHEMA)

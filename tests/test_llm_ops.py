@@ -140,3 +140,35 @@ def test_embedding_near_dup_threshold(spark):
     out = sim.embedding_near_dup_pairs(emb, threshold=0.95, bits=3).collect()
     assert [(r["doc_a"], r["doc_b"]) for r in out] == [(1, 2)]
     assert out[0]["cos"] > 0.99
+
+
+def test_multimodal_resize_and_features_chain(spark):
+    """The media pipeline composes: resize scales metadata preserving
+    aspect; feature-extract emits embeddings the similarity operators
+    consume directly (identical payloads -> identical vectors -> top
+    cosine match)."""
+    from open_bus_stride_etl_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, kind="image", payload=bytes(range(200)) * 3,
+                width=1024, height=512, sample_rate=None),
+            Row(media_id=2, kind="image", payload=bytes(range(200)) * 3,  # dup of 1
+                width=200, height=100, sample_rate=None),
+            Row(media_id=3, kind="image", payload=bytes([7, 9, 250] * 40),
+                width=100, height=200, sample_rate=None),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    resized = {r["media_id"]: r for r in mm.fake_resize(media, max_dim=256).collect()}
+    assert (resized[1]["width"], resized[1]["height"]) == (256, 128)  # aspect kept
+    assert (resized[2]["width"], resized[2]["height"]) == (200, 100)  # under cap: untouched
+
+    feats = mm.fake_feature_extract(media, dim=8)
+    rows = {r["media_id"]: r["embedding"] for r in feats.collect()}
+    assert all(len(v) == 8 and abs(sum(v) - 1.0) < 1e-6 for v in rows.values())
+    assert rows[1] == rows[2] != rows[3]
+
+    out = sim.cosine_topk(feats, feats.where(F.col("media_id") == 1), k=2,
+                          id_col="media_id", vec_col="embedding").orderBy("rank").collect()
+    assert out[0]["cand_id"] == 2 and out[0]["cos"] > 0.999999
