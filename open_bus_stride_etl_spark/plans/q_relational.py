@@ -391,13 +391,19 @@ def session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, user_id,
            MIN(CAST(ROUND(value * 100) AS BIGINT))
-             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_min_c
+             OVER (PARTITION BY user_id
+                   ORDER BY ts NULLS FIRST, event_id) AS run_min_c
     FROM events
     """,
 )
 def running_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Null ordering is explicit on BOTH sides: Spark defaults ASC to
+    # NULLS FIRST but DuckDB defaults to NULLS LAST, so an implicit
+    # ORDER BY diverges the window prefix on any data with NULL ts.
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_first(), F.col("event_id")
+    )
     return ev.select(
         "event_id",
         "user_id",
@@ -453,7 +459,8 @@ def topk_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ledger_missing_dates",
     """
-    WITH all_days AS (SELECT DISTINCT CAST(ts AS DATE) AS date FROM events),
+    WITH all_days AS (SELECT DISTINCT CAST(ts AS DATE) AS date FROM events
+                      WHERE ts IS NOT NULL),
          ledger AS (
            SELECT CAST(ts AS DATE) AS date,
                   CASE WHEN COUNT(CASE WHEN event_type = 'error' THEN 1 END) = 0 THEN TRUE
@@ -470,8 +477,11 @@ def topk_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ledger_missing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL dates are excluded up front: SQL `NOT IN` drops a NULL probe
+    # row, but a left-anti join keeps it — excluding makes both engines
+    # (and the reference's never-null date ledger) agree.
     ev = load_table(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
-    all_days = ev.select("date").distinct()
+    all_days = ev.select("date").where(F.col("date").isNotNull()).distinct()
     nerr = F.count(F.when(F.col("event_type") == "error", 1))
     ledger = (
         ev.where(F.col("date") <= F.lit("2024-01-20").cast("date"))
