@@ -162,7 +162,12 @@ def computed_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").cast("string"), F.lit("_"), F.date_format("o_orderdate", "ddMMyy")
         ).alias("journey_ref"),
     )
-    return rearranged.join(
+    # SHUFFLE_HASH: both sides are large (no broadcast), and sort-merge
+    # would sort millions of ~16-char derived string keys per side; a
+    # per-partition hash build skips both sorts (~1.7x at sf1). The
+    # rearranged side is the smaller (status-filtered) one at any scale,
+    # so it stays a valid build side as data grows.
+    return rearranged.hint("shuffle_hash").join(
         gtfs, gtfs["journey_ref"] == rearranged["k"], "inner"
     ).select("o_orderkey", "gtfs_key", F.col("k").alias("joined_ref"))
 
