@@ -51,10 +51,19 @@ def _shingled(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
 
 
 def minhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
-    """Per doc: 8 MinHash values m0..m7 over word-k-gram shingles."""
-    sh = _shingled(docs, id_col, text_col, k)
+    """Per doc: 8 MinHash values m0..m7 over word-k-gram shingles.
+
+    ``shingled`` lets a pipeline that needs the shingle table more than
+    once (signatures + exact Jaccard re-rank) compute it a single time
+    and `.persist()` it — Catalyst does not reuse the subtree across the
+    two aggregation shapes on its own."""
+    sh = shingled if shingled is not None else _shingled(docs, id_col, text_col, k)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
@@ -87,13 +96,14 @@ def jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     candidates: DataFrame | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard per doc pair (basis points). With
     ``candidates`` (doc_a, doc_b) the computation is restricted to those
     pairs (the LSH path); without, every pair sharing >= 1 shingle is
     scored (only sane at small scale — the blocker is the shared
-    shingle itself)."""
-    sh = _shingled(docs, id_col, text_col, k)
+    shingle itself). ``shingled``: see minhash_signatures."""
+    sh = shingled if shingled is not None else _shingled(docs, id_col, text_col, k)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     if candidates is not None:
         # The scale path: never self-join the whole corpus. Intersections

@@ -236,44 +236,107 @@ def ann_ivf_topk(
     oracle-checkable). Every vector is assigned to its nearest pivot
     (cell); queries only score their own cell's members.
 
-    Scale shape: the pivot table is tiny and broadcast, so assignment is
-    a codegen'd per-row argmax over n_pivots dots — no shuffle; the cell
-    equi-join replaces the all-pairs scan, and per-cell occupancy bounds
-    the scoring work (the same contract as ann_lsh_topk with a different
-    partitioner)."""
-    from pyspark.sql import Window
+    Scale shape: centroids AND the query set are small by construction
+    (that is the IVF contract), so both ship as one broadcast; the
+    corpus then makes a SINGLE ``mapInPandas`` pass in which each Arrow
+    batch is (a) cell-assigned by one argmax over a batch x pivots
+    matmul and (b) immediately scored against its own cell's query
+    block — probe fused into assignment, zero shuffle before the tiny
+    global top-k. Two earlier formulations lost to this: a crossJoin +
+    row_number window shuffled |corpus| x n_pivots rows, and a
+    codegen'd array-expression argmax re-evaluated the interpreted
+    (non-codegen) higher-order quantization once per pivot after
+    project collapse.
 
-    pivots = (
+    Tie semantics match the oracle exactly: np.argmax returns the
+    FIRST maximum == (cos DESC, pivot_id ASC) because pivots are
+    ordered by id; float64 math on quantized integers is bit-identical
+    to the SQL (see cosine_topk)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    piv_rows = (
         emb.orderBy(id_col)
         .limit(n_pivots)
         .select(F.col(id_col).alias("pivot_id"), quantized_vec(vec_col).alias("_pv"))
-        .withColumn("_pn2", _dot(F.col("_pv"), F.col("_pv")))
+        .collect()
     )
-
-    def assign(df: DataFrame, out_id: str) -> DataFrame:
-        v = df.select(
-            F.col(id_col).alias(out_id), quantized_vec(vec_col).alias("_v")
-        ).withColumn("_n2", _dot(F.col("_v"), F.col("_v")))
-        cos = _dot(F.col("_v"), F.col("_pv")) / (F.sqrt(F.col("_n2")) * F.sqrt(F.col("_pn2")))
-        w = Window.partitionBy(out_id).orderBy(F.col("_pcos").desc(), F.col("pivot_id").asc())
-        return (
-            v.crossJoin(F.broadcast(pivots))
-            .withColumn("_pcos", cos)
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select(out_id, F.col("pivot_id").alias("cell"), "_v", "_n2")
+    q_rows = (
+        queries.select(F.col(id_col).alias("query_id"), quantized_vec(vec_col).alias("_qq"))
+        .collect()
+    )
+    spark = emb.sparkSession
+    if not q_rows or not piv_rows:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", T.LongType()),
+                    T.StructField("cand_id", T.LongType()),
+                    T.StructField("rank", T.IntegerType()),
+                    T.StructField("cos", T.DoubleType()),
+                ]
+            ),
         )
+    p_mat = np.array([r["_pv"] for r in piv_rows], dtype=np.float64)
+    p_norm = np.sqrt((p_mat * p_mat).sum(axis=1))
 
-    qcells = assign(queries, "query_id").withColumnRenamed("_v", "_qv").withColumnRenamed(
-        "_n2", "_qn2"
-    )
-    ccells = assign(emb, "cand_id")
-    cos = _dot(F.col("_qv"), F.col("_v")) / (F.sqrt(F.col("_qn2")) * F.sqrt(F.col("_n2")))
-    scored = (
-        ccells.join(F.broadcast(qcells), on="cell")
-        .where(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", cos.alias("cos"))
-    )
+    def cells_of(mat: "np.ndarray") -> "np.ndarray":
+        norm = np.sqrt((mat * mat).sum(axis=1))
+        cos = (mat @ p_mat.T) / (norm[:, None] * p_norm[None, :])
+        return np.argmax(cos, axis=1)  # first max == smallest pivot_id
+
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["_qq"] for r in q_rows], dtype=np.float64)
+    q_cell = cells_of(q_mat)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    by_cell = {
+        int(c): (q_ids[q_cell == c], q_mat[q_cell == c], q_norm[q_cell == c])
+        for c in np.unique(q_cell)
+    }
+    bc = spark.sparkContext.broadcast((p_mat, p_norm, by_cell))
+
+    def probe_batches(batches):
+        mat_p, norm_p, cell_queries = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cand_ids = pdf["cand_id"].to_numpy(dtype=np.int64)
+            c_mat = np.vstack(pdf["_cq"].to_numpy()).astype(np.float64)
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            c_cell = np.argmax(
+                (c_mat @ mat_p.T) / (c_norm[:, None] * norm_p[None, :]), axis=1
+            )
+            out_q, out_c, out_s = [], [], []
+            for cell in np.unique(c_cell):
+                cq = cell_queries.get(int(cell))
+                if cq is None:
+                    continue
+                ids_q, mat_q, norm_q = cq
+                sel = c_cell == cell
+                ids_sub, mat_sub, norm_sub = cand_ids[sel], c_mat[sel], c_norm[sel]
+                cos = (mat_sub @ mat_q.T) / (norm_q[None, :] * norm_sub[:, None])
+                for j in range(len(ids_q)):
+                    mask = ids_sub != ids_q[j]
+                    cand_j, col_j = ids_sub[mask], cos[mask, j]
+                    top = np.lexsort((cand_j, -col_j))[:k]
+                    out_q.append(np.full(len(top), ids_q[j]))
+                    out_c.append(cand_j[top])
+                    out_s.append(col_j[top])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "cand_id": np.concatenate(out_c),
+                    "cos": np.concatenate(out_s),
+                }
+            )
+
+    cv = emb.select(F.col(id_col).alias("cand_id"), quantized_vec(vec_col).alias("_cq"))
+    scored = cv.mapInPandas(probe_batches, schema="query_id long, cand_id long, cos double")
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

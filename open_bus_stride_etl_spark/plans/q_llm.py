@@ -129,9 +129,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The LSH equi-join is the 100 TB path: candidates are linear in
     bucket occupancy, not corpus-quadratic."""
     d = _docs(spark, sf_dir)
-    sigs = dd.minhash_signatures(d)
+    # The shingle table feeds both the signature aggregation and the
+    # exact-Jaccard re-rank; persist it once instead of re-running
+    # normalize+shingle+md5+distinct per consumer (4 subtree copies in
+    # the unshared plan). ~50 MB per 1M docs — (id, 8-byte hash) rows.
+    sh = dd._shingled(d, "doc_id", "text", 3).persist()
+    sigs = dd.minhash_signatures(d, shingled=sh)
     cands = dd.lsh_candidate_pairs(sigs)
-    pairs = dd.jaccard_pairs(d, candidates=cands)
+    pairs = dd.jaccard_pairs(d, candidates=cands, shingled=sh)
     return pairs.where(F.col("jaccard_bp") >= 5000)
 
 
@@ -523,10 +528,11 @@ def corpus_clean_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.doc_fingerprint(t).alias("fp"),
     ).withColumn("min_id", F.min("doc_id").over(Window.partitionBy("fp")))
 
-    sigs = dd.minhash_signatures(d)
+    sh = dd._shingled(d, "doc_id", "text", 3).persist()
+    sigs = dd.minhash_signatures(d, shingled=sh)
     cands = dd.lsh_candidate_pairs(sigs)
     near_dup_losers = (
-        dd.jaccard_pairs(d, candidates=cands)
+        dd.jaccard_pairs(d, candidates=cands, shingled=sh)
         .where(F.col("jaccard_bp") >= 5000)
         .select("doc_b")
         .distinct()

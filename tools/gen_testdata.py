@@ -172,8 +172,14 @@ def generate(spark: SparkSession, out_dir: str, sf: float) -> None:
                 "event_type"
             ),
             (_h(F.col("id") + 37, 10_000) / 100.0).alias("value"),
+            # same shape as the driver's props ({"k": int}) so the JSON
+            # queries select non-trivial row sets, plus extra keys to
+            # exercise path extraction on wider objects
             F.format_string(
-                '{"device": "d%d", "dur_ms": %d}', _h(F.col("id") + 41, 9), _h(F.col("id") + 43, 5000)
+                '{"k": %d, "device": "d%d", "dur_ms": %d}',
+                _h(F.col("id") + 41, 100),
+                _h(F.col("id") + 41, 9),
+                _h(F.col("id") + 43, 5000),
             ).alias("props"),
         ),
         "events",
