@@ -129,11 +129,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The LSH equi-join is the 100 TB path: candidates are linear in
     bucket occupancy, not corpus-quadratic."""
     d = _docs(spark, sf_dir)
-    # The shingle table feeds both the signature aggregation and the
-    # exact-Jaccard re-rank; persist it once instead of re-running
-    # normalize+shingle+md5+distinct per consumer (4 subtree copies in
-    # the unshared plan). ~50 MB per 1M docs — (id, 8-byte hash) rows.
-    sh = dd._shingled(d, "doc_id", "text", 3).persist()
+    # Shared (NOT persisted) shingle table: measured 1.7s vs 3.6s at
+    # sf0.1 — Spark already reuses the distinct's exchange across the
+    # signature and Jaccard consumers, so a cache only inserts a
+    # memory-store write barrier. Contrast dedup_ngram_jaccard, whose
+    # self-join plan gets no exchange reuse and persist wins ~20%.
+    sh = dd._shingled(d, "doc_id", "text", 3)
     sigs = dd.minhash_signatures(d, shingled=sh)
     cands = dd.lsh_candidate_pairs(sigs)
     pairs = dd.jaccard_pairs(d, candidates=cands, shingled=sh)
@@ -152,7 +153,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    return dd.jaccard_pairs(d).where(F.col("jaccard_bp") >= 5000)
+    # the shingle table appears three times in this plan (both sides of
+    # the co-shingle self-join + the set-size aggregate) and, unlike the
+    # LSH variant's plan, gets no exchange reuse across them — persist
+    # wins ~20% at sf0.1 AND sf1 (measured both ways at both scales)
+    sh = dd._shingled(d, "doc_id", "text", 3).persist()
+    return dd.jaccard_pairs(d, shingled=sh).where(F.col("jaccard_bp") >= 5000)
 
 
 # ---------------------------------------------------------------------------
@@ -528,7 +534,11 @@ def corpus_clean_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.doc_fingerprint(t).alias("fp"),
     ).withColumn("min_id", F.min("doc_id").over(Window.partitionBy("fp")))
 
-    sh = dd._shingled(d, "doc_id", "text", 3).persist()
+    # NOTE: no .persist() here (unlike dedup_ngram_jaccard) — measured
+    # 9.5s vs 10.7s at sf1: this plan's two shingle consumers already
+    # share the distinct's exchange, so a cache only adds a write
+    # barrier between the scan and the downstream joins.
+    sh = dd._shingled(d, "doc_id", "text", 3)
     sigs = dd.minhash_signatures(d, shingled=sh)
     cands = dd.lsh_candidate_pairs(sigs)
     near_dup_losers = (

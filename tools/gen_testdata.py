@@ -37,14 +37,21 @@ def generate(spark: SparkSession, out_dir: str, sf: float) -> None:
     os.makedirs(out_dir, exist_ok=True)
     epoch = F.lit(EPOCH).cast("timestamp")
 
-    def write(df, name):
+    def write(df, name, block=4 * 1024 * 1024):
         # single file per table, like the shipped testdata (DuckDB's
         # read_parquet gets a plain file path)
         import glob as _glob  # noqa: PLC0415
         import shutil as _shutil  # noqa: PLC0415
 
         tmp = os.path.join(out_dir, f"_tmp_{name}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # small row groups: DuckDB (the oracle engine) parallelizes per
+        # row group, so a single maximal group would serialize its side
+        # of every heavy comparison at generated scales (block is the
+        # ENCODED group size — pass a smaller value for tables that
+        # compress well but explode downstream, e.g. embeddings)
+        df.coalesce(1).write.mode("overwrite").option(
+            "parquet.block.size", block
+        ).parquet(tmp)
         part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
         os.replace(part, os.path.join(out_dir, f"{name}.parquet"))
         _shutil.rmtree(tmp, ignore_errors=True)
@@ -206,7 +213,7 @@ def generate(spark: SparkSession, out_dir: str, sf: float) -> None:
         F.lit("en").alias("lang"),
         F.concat(F.lit("src"), _h(F.col("id") + 53, 5)).alias("source"),
     ).withColumn("n_chars", F.length("text").cast("long"))
-    write(docs, "documents")
+    write(docs, "documents", block=256 * 1024)
 
     n_vec = int(20_000 * sf)
     dim = 64
@@ -220,6 +227,7 @@ def generate(spark: SparkSession, out_dir: str, sf: float) -> None:
             _h(F.col("id") + 59, 10).alias("label"),
         ),
         "embeddings",
+        block=128 * 1024,
     )
 
 
