@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .util import fan_out
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -75,7 +77,9 @@ def fake_decode_stats(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.select("media_id", "payload").mapInPandas(batches, DECODE_STATS_SCHEMA)
+    return fan_out(media.select("media_id", "payload")).mapInPandas(
+        batches, DECODE_STATS_SCHEMA
+    )
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
@@ -124,7 +128,7 @@ def fake_resize(media: DataFrame, max_dim: int = 256) -> DataFrame:
                 }
             )
 
-    return media.select("media_id", "width", "height", "payload").mapInPandas(
+    return fan_out(media.select("media_id", "width", "height", "payload")).mapInPandas(
         batches, RESIZE_SCHEMA
     )
 
@@ -160,4 +164,6 @@ def fake_feature_extract(media: DataFrame, dim: int = 8) -> DataFrame:
                 {"media_id": pdf["media_id"], "embedding": pdf["payload"].map(embed)}
             )
 
-    return media.select("media_id", "payload").mapInPandas(batches, FEATURES_SCHEMA)
+    return fan_out(media.select("media_id", "payload")).mapInPandas(
+        batches, FEATURES_SCHEMA
+    )

@@ -24,6 +24,35 @@ from pyspark.sql import functions as F
 QUANT = 1_000_000
 
 
+from .util import fan_out as _fan_out
+
+
+def _topk_per_column(cos, cand_ids, k):
+    """Exact per-column top-k of a scores matrix with (cos DESC, cand_id
+    ASC) tie order. One vectorized np.partition finds every column's
+    k-th value; only the >= boundary slab (k rows + exact ties) is then
+    sorted per column — O(n*m) + m small sorts instead of m full-column
+    sorts, which is the difference between 0.1s and 80s per batch once
+    the query set reaches thousands. Rows with cos == -inf (self-match
+    sentinel) are never emitted. Yields (col_idx, cand_ids, scores)."""
+    import numpy as np
+
+    n, m = cos.shape
+    kk = min(k, n)
+    if n > kk:
+        kth = -np.partition(-cos, kk - 1, axis=0)[kk - 1]  # per-column k-th best
+    else:
+        kth = np.full(m, -np.inf)
+    for j in range(m):
+        col = cos[:, j]
+        sel = np.nonzero(col >= kth[j])[0] if n > kk else np.arange(n)
+        cand_sub, col_sub = cand_ids[sel], col[sel]
+        finite = col_sub > -np.inf
+        cand_sub, col_sub = cand_sub[finite], col_sub[finite]
+        top = np.lexsort((cand_sub, -col_sub))[:k]
+        yield j, cand_sub[top], col_sub[top]
+
+
 def quantized_components(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -125,17 +154,17 @@ def cosine_topk(
             dots = c_mat @ mat_q.T  # exact: integer-valued floats < 2^53
             c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
             cos = dots / (norm_q[None, :] * c_norm[:, None])
+            # self-match sentinel: a query also present in this batch
+            row_of = {int(c): i for i, c in enumerate(cand_ids)}
+            for j, qid in enumerate(ids_q):
+                i = row_of.get(int(qid))
+                if i is not None:
+                    cos[i, j] = -np.inf
             out_q, out_c, out_s = [], [], []
-            for j in range(len(ids_q)):
-                col = cos[:, j]
-                mask = cand_ids != ids_q[j]
-                # full tie-safe order: (-cos, cand_id) — argpartition
-                # could mis-cut a tie run at the k boundary
-                cand_sub, col_sub = cand_ids[mask], col[mask]
-                top = np.lexsort((cand_sub, -col_sub))[:k]
-                out_q.append(np.full(len(top), ids_q[j]))
-                out_c.append(cand_sub[top])
-                out_s.append(col_sub[top])
+            for j, cand_top, col_top in _topk_per_column(cos, cand_ids, k):
+                out_q.append(np.full(len(cand_top), ids_q[j]))
+                out_c.append(cand_top)
+                out_s.append(col_top)
             yield pd.DataFrame(
                 {
                     "query_id": np.concatenate(out_q),
@@ -144,7 +173,9 @@ def cosine_topk(
                 }
             )
 
-    cv = emb.select(F.col(id_col).alias("cand_id"), quantized_vec(vec_col).alias("_cq"))
+    cv = _fan_out(
+        emb.select(F.col(id_col).alias("cand_id"), quantized_vec(vec_col).alias("_cq"))
+    )
     scored = cv.mapInPandas(
         score_batches, schema="query_id long, cand_id long, cos double"
     )
@@ -318,13 +349,15 @@ def ann_ivf_topk(
                 sel = c_cell == cell
                 ids_sub, mat_sub, norm_sub = cand_ids[sel], c_mat[sel], c_norm[sel]
                 cos = (mat_sub @ mat_q.T) / (norm_q[None, :] * norm_sub[:, None])
-                for j in range(len(ids_q)):
-                    mask = ids_sub != ids_q[j]
-                    cand_j, col_j = ids_sub[mask], cos[mask, j]
-                    top = np.lexsort((cand_j, -col_j))[:k]
-                    out_q.append(np.full(len(top), ids_q[j]))
-                    out_c.append(cand_j[top])
-                    out_s.append(col_j[top])
+                row_of = {int(c): i for i, c in enumerate(ids_sub)}
+                for j, qid in enumerate(ids_q):
+                    i = row_of.get(int(qid))
+                    if i is not None:
+                        cos[i, j] = -np.inf
+                for j, cand_top, col_top in _topk_per_column(cos, ids_sub, k):
+                    out_q.append(np.full(len(cand_top), ids_q[j]))
+                    out_c.append(cand_top)
+                    out_s.append(col_top)
             if not out_q:
                 continue
             yield pd.DataFrame(
@@ -335,7 +368,9 @@ def ann_ivf_topk(
                 }
             )
 
-    cv = emb.select(F.col(id_col).alias("cand_id"), quantized_vec(vec_col).alias("_cq"))
+    cv = _fan_out(
+        emb.select(F.col(id_col).alias("cand_id"), quantized_vec(vec_col).alias("_cq"))
+    )
     scored = cv.mapInPandas(probe_batches, schema="query_id long, cand_id long, cos double")
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
     return (

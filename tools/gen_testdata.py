@@ -197,7 +197,21 @@ def generate(spark: SparkSession, out_dir: str, sf: float) -> None:
         "the quick brown fox jumps over lazy dog and a of to in is it was for on "
         "with data spark engine query batch stream table join shuffle"
     ).split()
-    word = lambda c: F.element_at(F.array(*[F.lit(w) for w in vocab]), _h(c, len(vocab)) + 1)  # noqa: E731
+    # Vocabulary must GROW with the corpus (as any real corpus's does):
+    # with a fixed tiny vocab, shingle/minhash-band collisions between
+    # unrelated documents have constant probability, which makes every
+    # dedup candidate set quadratic in corpus size — a property of the
+    # data, not the operators. Real words keep stopword/lang signals;
+    # synthetic tail words are derived arithmetically (no giant array
+    # literals in the plan).
+    v_size = max(40, int(1500 * sf))
+    real_arr = F.array(*[F.lit(w) for w in vocab])
+
+    def word(c):
+        idx = _h(c, v_size)
+        return F.when(idx < len(vocab), F.element_at(real_arr, idx + 1)).otherwise(
+            F.concat(F.lit("w"), idx)
+        )
     base_words = [word(F.col("id") * 40 + i) for i in range(30)]
     # 10% of docs are near-duplicates of doc id-1 (one word substituted)
     docs = spark.range(1, n_doc + 1).select(
