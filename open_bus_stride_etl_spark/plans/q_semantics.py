@@ -87,10 +87,18 @@ _NEAREST_ORACLE = f"""
       FROM events
     ),
     d AS (SELECT user_id, event_id, {haversine_sql('lat', 'lon', 'tlat', 'tlon')} AS dist FROM pts)
-    SELECT user_id,
-           arg_min(event_id, dist) AS nearest_event_id,
-           CAST(ROUND(MIN(dist)) AS BIGINT) AS distance_meters
-    FROM d GROUP BY user_id
+    -- explicit (dist, event_id) tie order: arg_min(event_id, dist) is
+    -- tie-arbitrary, and exact-duplicate distances DO occur (the value
+    -- column has limited distinct values, so two events of a user can
+    -- map to identical coordinates); Spark side min_by's on the same
+    -- composite struct
+    SELECT user_id, event_id AS nearest_event_id,
+           CAST(ROUND(dist) AS BIGINT) AS distance_meters
+    FROM (SELECT user_id, event_id, dist,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY dist, event_id) AS rn
+          FROM d)
+    WHERE rn = 1
     """
 
 
@@ -179,12 +187,23 @@ def computed_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NOW = "2024-01-31 00:00:00"
 
 _RIDE_DUR_ORACLE = f"""
-    WITH r AS (
+    WITH ranked AS (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC NULLS LAST, event_id ASC) AS rn_f,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC NULLS LAST, event_id DESC) AS rn_l
+      FROM events
+    ),
+    -- tie-safe first/last: arg_min(event_id, ts) is tie-arbitrary and
+    -- duplicate (user_id, ts) pairs exist at larger SFs; the Spark side
+    -- min_by's on struct(ts, event_id)
+    r AS (
       SELECT user_id,
-             arg_min(event_id, ts) AS first_vehicle_location_id,
-             arg_max(event_id, ts) AS last_vehicle_location_id,
+             MAX(CASE WHEN rn_f = 1 AND ts IS NOT NULL THEN event_id END) AS first_vehicle_location_id,
+             MAX(CASE WHEN rn_l = 1 AND ts IS NOT NULL THEN event_id END) AS last_vehicle_location_id,
              MIN(ts) AS first_ts, MAX(ts) AS last_ts
-      FROM events GROUP BY user_id
+      FROM ranked GROUP BY user_id
     )
     SELECT user_id, first_vehicle_location_id, last_vehicle_location_id,
            first_ts, last_ts,
