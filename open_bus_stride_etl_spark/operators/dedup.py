@@ -111,10 +111,15 @@ def jaccard_pairs(
         # so work is O(|candidates| * shingles/doc), independent of corpus
         # size. This is the reason LSH banding exists; filtering an
         # all-pairs join afterwards would throw that away.
+        # The candidate set is consumed three times below (two member
+        # semi-joins + the intersection join) and is small by contract
+        # (it IS the point of LSH banding) — persist it so the banding
+        # subtree runs once and AQE sees its true (tiny) size, turning
+        # the member semi-joins into broadcasts.
+        candidates = candidates.persist()
         # BOTH sides prune to candidate members before touching shingles:
         # the b-side previously joined the full shingle table, which at
-        # 500k docs meant shuffling 14M rows to score 42k pairs (41.7s
-        # -> 9s for the scoring stage when measured at that scale).
+        # 500k docs meant shuffling 14M rows to score 42k pairs.
         a_sh = sh.select(F.col(id_col).alias("doc_a"), "h").join(
             candidates.select("doc_a").distinct(), on="doc_a", how="left_semi"
         )
