@@ -327,26 +327,45 @@ def ann_ivf_topk(
         int(c): (q_ids[q_cell == c], q_mat[q_cell == c], q_norm[q_cell == c])
         for c in np.unique(q_cell)
     }
-    bc = spark.sparkContext.broadcast((p_mat, p_norm, by_cell))
+
+    cv = _fan_out(
+        emb.select(F.col(id_col).alias("cand_id"), quantized_vec(vec_col).alias("_cq"))
+    )
+    return _partitioned_probe(cv, by_cell, k, key_of=cells_of)
+
+
+def _partitioned_probe(cv, by_key, k, key_of=None):
+    """Shared partitioned-ANN probe: one mapInPandas pass over the
+    corpus; each Arrow batch computes its rows' partition keys (via
+    ``key_of`` over the quantized matrix, or a precomputed ``_key``
+    column) and scores each key-group against that key's query block
+    with one matmul. Only per-batch top-k rows leave the worker; the
+    global top-k window touches ~k rows per (query, batch).
+
+    ``cv``: DataFrame(cand_id long, _cq array<long> [, _key long]).
+    ``by_key``: {key: (query_ids, query_matrix, query_norms)}."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    bc = cv.sparkSession.sparkContext.broadcast(by_key)
 
     def probe_batches(batches):
-        mat_p, norm_p, cell_queries = bc.value
+        key_queries = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
             cand_ids = pdf["cand_id"].to_numpy(dtype=np.int64)
             c_mat = np.vstack(pdf["_cq"].to_numpy()).astype(np.float64)
             c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
-            c_cell = np.argmax(
-                (c_mat @ mat_p.T) / (c_norm[:, None] * norm_p[None, :]), axis=1
-            )
+            keys = key_of(c_mat) if key_of is not None else pdf["_key"].to_numpy(np.int64)
             out_q, out_c, out_s = [], [], []
-            for cell in np.unique(c_cell):
-                cq = cell_queries.get(int(cell))
-                if cq is None:
+            for key in np.unique(keys):
+                kq = key_queries.get(int(key))
+                if kq is None:
                     continue
-                ids_q, mat_q, norm_q = cq
-                sel = c_cell == cell
+                ids_q, mat_q, norm_q = kq
+                sel = keys == key
                 ids_sub, mat_sub, norm_sub = cand_ids[sel], c_mat[sel], c_norm[sel]
                 cos = (mat_sub @ mat_q.T) / (norm_q[None, :] * norm_sub[:, None])
                 row_of = {int(c): i for i, c in enumerate(ids_sub)}
@@ -368,9 +387,6 @@ def ann_ivf_topk(
                 }
             )
 
-    cv = _fan_out(
-        emb.select(F.col(id_col).alias("cand_id"), quantized_vec(vec_col).alias("_cq"))
-    )
     scored = cv.mapInPandas(probe_batches, schema="query_id long, cand_id long, cos double")
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
     return (
@@ -401,30 +417,49 @@ def ann_lsh_topk(
     bits: int = 8,
 ) -> DataFrame:
     """Approximate top-k: only bucket-mates (same sign pattern) are
-    scored. Same scoring math as cosine_topk."""
-    from pyspark.sql import Window
+    scored. Same scoring math as cosine_topk.
 
-    qv = queries.select(
+    Scale shape: the same one-pass partitioned probe as ann_ivf_topk
+    (shared ``_partitioned_probe``), with the sign bucket as the
+    partition key. The bucket is computed JVM-side (on the RAW float —
+    ``x > 0`` can disagree with the quantized sign for sub-microunit
+    values, so re-deriving it from the quantized matrix would be wrong)
+    and shipped as a column; scoring is per-bucket matmul instead of
+    the earlier per-pair interpreted array dots."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(
         F.col(id_col).alias("query_id"),
         sign_lsh_bucket(vec_col, bits).alias("bucket"),
         quantized_vec(vec_col).alias("_qq"),
-    ).withColumn("_qn2", _dot(F.col("_qq"), F.col("_qq")))
-    cv = emb.select(
-        F.col(id_col).alias("cand_id"),
-        sign_lsh_bucket(vec_col, bits).alias("bucket"),
-        quantized_vec(vec_col).alias("_cq"),
-    ).withColumn("_cn2", _dot(F.col("_cq"), F.col("_cq")))
-    # Bucket-mates only: candidate generation is a hash equi-join on the
-    # bucket id; scoring is the same codegen'd array dot as cosine_topk.
-    cos = _dot(F.col("_qq"), F.col("_cq")) / (F.sqrt(F.col("_qn2")) * F.sqrt(F.col("_cn2")))
-    scored = (
-        cv.join(F.broadcast(qv), on="bucket")
-        .where(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", cos.alias("cos"))
+    ).collect()
+    spark = emb.sparkSession
+    if not q_rows:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", T.LongType()),
+                    T.StructField("cand_id", T.LongType()),
+                    T.StructField("rank", T.IntegerType()),
+                    T.StructField("cos", T.DoubleType()),
+                ]
+            ),
+        )
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    q_bucket = np.array([r["bucket"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["_qq"] for r in q_rows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    by_bucket = {
+        int(b): (q_ids[q_bucket == b], q_mat[q_bucket == b], q_norm[q_bucket == b])
+        for b in np.unique(q_bucket)
+    }
+    cv = _fan_out(
+        emb.select(
+            F.col(id_col).alias("cand_id"),
+            sign_lsh_bucket(vec_col, bits).alias("_key"),
+            quantized_vec(vec_col).alias("_cq"),
+        )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "cand_id", "rank", "cos")
-    )
+    return _partitioned_probe(cv, by_bucket, k)
