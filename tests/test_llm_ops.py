@@ -172,3 +172,55 @@ def test_multimodal_resize_and_features_chain(spark):
     out = sim.cosine_topk(feats, feats.where(F.col("media_id") == 1), k=2,
                           id_col="media_id", vec_col="embedding").orderBy("rank").collect()
     assert out[0]["cand_id"] == 2 and out[0]["cos"] > 0.999999
+
+
+# ---------------------------------------------------------------------------
+# The NumPy probe machinery: tie-exactness and edge cases
+# ---------------------------------------------------------------------------
+
+def test_topk_per_column_matches_full_sort_with_tie_runs():
+    """The slab optimization (np.partition + boundary sort) must equal a
+    full (cos DESC, cand_id ASC) sort even when a tie run straddles the
+    k boundary — the case a naive argpartition cut gets wrong."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    # scores drawn from few distinct values => massive tie runs
+    cos = rng.choice([0.1, 0.5, 0.5000000001, 0.9], size=(200, 17))
+    cand_ids = rng.permutation(200).astype(np.int64)
+    k = 5
+    for j, cand_top, col_top in sim._topk_per_column(cos.copy(), cand_ids, k):
+        order = np.lexsort((cand_ids, -cos[:, j]))[:k]
+        assert list(cand_top) == list(cand_ids[order]), f"col {j}"
+        assert list(col_top) == list(cos[:, j][order]), f"col {j}"
+
+
+def test_topk_per_column_neginf_rows_never_emitted():
+    import numpy as np
+
+    cos = np.array([[0.9, -np.inf], [-np.inf, 0.8], [0.1, 0.2]])
+    cand_ids = np.array([10, 11, 12], dtype=np.int64)
+    got = {j: list(c) for j, c, _ in sim._topk_per_column(cos, cand_ids, k=3)}
+    assert got[0] == [10, 12] and got[1] == [11, 12]
+
+
+def test_cosine_topk_empty_query_set_returns_empty(spark):
+    emb = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[0.5] * 4)],
+    )
+    out = sim.cosine_topk(emb, emb.where(F.col("vec_id") < 0), k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "cand_id", "rank", "cos"]
+
+
+def test_fan_out_rebalances_single_partition(spark):
+    from open_bus_stride_etl_spark.operators.util import fan_out
+
+    df = spark.range(100).coalesce(1)
+    assert df.rdd.getNumPartitions() == 1
+    fanned = fan_out(df)
+    assert fanned.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert fanned.count() == 100
+    # already-wide inputs pass through without an extra shuffle
+    wide = spark.range(100).repartition(64)
+    assert fan_out(wide) is wide
