@@ -556,3 +556,96 @@ def corpus_clean_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(near_dup_losers, F.col("doc_id") == F.col("doc_b"), "left_anti")
         .select("doc_id", "quality_bp", "predicted_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampling: deterministic hash membership (reproducible at 100 TB, and —
+# unlike RNG sampling — oracle-checkable). operators/sampling.py.
+# ---------------------------------------------------------------------------
+
+def _bucket_sql(key_expr: str, seed: str = "") -> str:
+    return (
+        f"CAST(('0x' || substr(md5({key_expr} || '{seed}'), 1, 10)) AS BIGINT) % 100"
+    )
+
+
+@query(
+    "sample_10pct_stats",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_c
+    FROM events
+    WHERE {_bucket_sql("CAST(event_id AS VARCHAR)")} < 10
+    GROUP BY event_type
+    """,
+)
+def sample_10pct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A reproducible 10% carve-out: membership is a pure function of
+    the row key, so the sample is stable across reruns, engines, and
+    repartitionings — the property RNG `df.sample()` cannot give a
+    training-data pipeline."""
+    from ..operators import sampling as sp
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        sp.deterministic_sample(ev, "event_id", 10)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
+        )
+    )
+
+
+_STRATA = {"click": 5, "view": 20, "purchase": 100}
+_STRATA_CASE = "CASE event_type " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _STRATA.items()
+) + " ELSE 0 END"
+
+
+@query(
+    "stratified_sample_counts",
+    f"""
+    SELECT event_type, COUNT(*) AS n_rows
+    FROM events
+    WHERE {_bucket_sql("CAST(event_id AS VARCHAR) || '|' || event_type")} < {_STRATA_CASE}
+    GROUP BY event_type
+    """,
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum rates (downsample dominant classes, keep rare ones
+    whole) — the class-balancing step of a training-data pipeline."""
+    from ..operators import sampling as sp
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        sp.stratified_hash_sample(ev, "event_id", "event_type", _STRATA)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@query(
+    "reservoir_per_user",
+    f"""
+    SELECT user_id, event_id
+    FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'rsv'), 1, 10)) AS BIGINT) ASC,
+                        event_id ASC) AS rn
+      FROM events) t
+    WHERE rn <= 3
+    """,
+)
+def reservoir_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k deterministic 'random' rows per group (hash-ranked) — the
+    per-source/per-domain spot-check sample, reproducible run to run."""
+    from ..operators import sampling as sp
+
+    ev = load_table(spark, sf_dir, "events")
+    return sp.reservoir_per_group(ev, "user_id", "event_id", 3, seed="rsv").select(
+        "user_id", "event_id"
+    )

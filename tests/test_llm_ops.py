@@ -224,3 +224,50 @@ def test_fan_out_rebalances_single_partition(spark):
     # already-wide inputs pass through without an extra shuffle
     wide = spark.range(100).repartition(64)
     assert fan_out(wide) is wide
+
+
+# ---------------------------------------------------------------------------
+# Sampling + sketches (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+def test_deterministic_sample_nested_and_stable(spark):
+    from open_bus_stride_etl_spark.operators import sampling as sp
+
+    df = spark.range(1, 2001).withColumnRenamed("id", "k")
+    s10 = set(r["k"] for r in sp.deterministic_sample(df, "k", 10).collect())
+    s30 = set(r["k"] for r in sp.deterministic_sample(df, "k", 30).collect())
+    assert s10 and s10 < s30  # nested carve-outs: 10% subset of 30%
+    assert 0.05 < len(s10) / 2000 < 0.15 and 0.22 < len(s30) / 2000 < 0.38
+    # stable across repartitioning (pure function of the key)
+    again = set(r["k"] for r in sp.deterministic_sample(df.repartition(13), "k", 10).collect())
+    assert again == s10
+
+
+def test_reservoir_per_group_exactly_k_and_reproducible(spark):
+    from open_bus_stride_etl_spark.operators import sampling as sp
+
+    df = spark.range(1, 501).select(
+        (F.col("id") % 5).alias("g"), F.col("id").alias("k")
+    )
+    out1 = sp.reservoir_per_group(df, "g", "k", 7).groupBy("g").count().collect()
+    assert all(r["count"] == 7 for r in out1)
+    a = sorted(map(tuple, sp.reservoir_per_group(df, "g", "k", 7).collect()))
+    b = sorted(map(tuple, sp.reservoir_per_group(df.repartition(9), "g", "k", 7).collect()))
+    assert a == b
+    # a different seed draws a different sample
+    c = sorted(map(tuple, sp.reservoir_per_group(df, "g", "k", 7, seed="x").collect()))
+    assert a != c
+
+
+def test_approx_sketches_within_tolerance(spark):
+    from open_bus_stride_etl_spark.operators import sampling as sp
+
+    df = spark.range(0, 20000).select((F.col("id") % 7919).alias("v"))
+    approx = sp.approx_distinct(df, "v", rsd=0.02).collect()[0][0]
+    assert abs(approx - 7919) / 7919 < 0.06  # 3x the target rsd
+    dd_ = df.selectExpr("CAST(v AS DOUBLE) AS v")
+    exact_median = dd_.selectExpr("percentile(v, 0.5) AS m").collect()[0][0]
+    qs = sp.approx_quantiles(dd_, "v", [0.5], 0.01)
+    # rank-error guarantee: within ~1% of N ranks => values are close on
+    # this near-uniform distribution
+    assert abs(qs[0] - exact_median) < 200
