@@ -170,12 +170,13 @@ def computed_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").cast("string"), F.lit("_"), F.date_format("o_orderdate", "ddMMyy")
         ).alias("journey_ref"),
     )
-    # SHUFFLE_HASH: both sides are large (no broadcast), and sort-merge
-    # would sort millions of ~16-char derived string keys per side; a
-    # per-partition hash build skips both sorts (~1.7x at sf1). The
-    # rearranged side is the smaller (status-filtered) one at any scale,
-    # so it stays a valid build side as data grows.
-    return rearranged.hint("shuffle_hash").join(
+    # No join-strategy hint: a SHUFFLE_HASH hint measured ~1.7x faster
+    # at sf1 (skips two derived-string-key sorts) but OOM'd at sf100 —
+    # shuffled-hash build maps cannot spill, while sort-merge's sorts
+    # do. For a large-large join whose per-partition build size grows
+    # with data, robustness belongs to SMJ; AQE still converts to a
+    # hash join at runtime when the build side actually fits.
+    return rearranged.join(
         gtfs, gtfs["journey_ref"] == rearranged["k"], "inner"
     ).select("o_orderkey", "gtfs_key", F.col("k").alias("joined_ref"))
 
