@@ -182,12 +182,17 @@ def time_window_halfopen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.c_custkey, c.c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
     """,
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (J9). Restricted to finished ('F') orders so the
+    result is non-trivial on the dense test data — every customer has
+    SOME order at every SF, which made the unrestricted anti-join a
+    zero-row (and thus zero-signal) comparison."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select("c_custkey", "c_name")
 
 
