@@ -24,3 +24,31 @@ def test_queries_and_oracles_aligned():
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 5
+
+
+def test_query_and_oracle_column_names_match(spark, sf_dir):
+    """The driver's value-hash sorts columns BY NAME before comparing, so
+    a Spark result aliased differently from its oracle SQL hash-mismatches
+    even with identical values. Guard the contract suite-side: for every
+    query, the Spark schema's sorted column names must equal the DuckDB
+    oracle's. Schemas only — nothing executes on the Spark side."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    mismatches = []
+    for name, fn in entry_mod.queries().items():
+        sql = entry_mod.oracle_sql().get(name)
+        if sql is None:
+            continue
+        spark_cols = sorted(fn(spark, sf_dir).columns)
+        duck_cols = sorted(r[0] for r in con.execute(f"DESCRIBE {sql}").fetchall())
+        if spark_cols != duck_cols:
+            mismatches.append((name, spark_cols, duck_cols))
+    assert not mismatches, mismatches
