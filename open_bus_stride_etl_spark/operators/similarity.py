@@ -53,40 +53,12 @@ def _topk_per_column(cos, cand_ids, k):
         yield j, cand_sub[top], col_sub[top]
 
 
-def quantized_components(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
-) -> DataFrame:
-    """(id, pos, q) rows with q = round(x * 1e6) as bigint."""
-    # float32 -> double BEFORE the multiply: both engines must quantize
-    # the same exact double value or dot products drift.
-    return emb.select(
-        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
-    ).select(
-        F.col(id_col),
-        F.col("pos"),
-        F.round(F.col("x").cast("double") * QUANT).cast("long").alias("q"),
-    )
-
-
-def norms2(comp: DataFrame, id_col: str = "vec_id") -> DataFrame:
-    return comp.groupBy(id_col).agg(F.sum(F.col("q") * F.col("q")).alias("n2"))
-
-
 def quantized_vec(vec_col: str) -> "F.Column":
-    """array<float> -> array<bigint> of micro-units (same double-first
-    rule as quantized_components)."""
+    """array<float> -> array<bigint> of micro-units. float32 -> double
+    BEFORE the multiply: both engines must quantize the same exact
+    double value or dot products drift."""
     return F.transform(
         F.col(vec_col), lambda x: F.round(x.cast("double") * QUANT).cast("long")
-    )
-
-
-def _dot(a: "F.Column", b: "F.Column") -> "F.Column":
-    """Exact integer dot product of two array<bigint> columns — stays in
-    whole-stage codegen (no explode, no shuffle, no Python)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
     )
 
 
