@@ -387,9 +387,17 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bits: int = 8,
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: only bucket-mates (same sign pattern) are
     scored. Same scoring math as cosine_topk.
+
+    ``probes=1`` enables multi-probe: each query additionally probes
+    every single-bit-flip of its bucket (the standard recall booster —
+    a near-neighbor differing in ONE borderline sign is recovered at
+    the cost of ``bits`` extra bucket lookups, NOT a bigger table).
+    Implemented by registering the query under the flipped keys in the
+    broadcast dict; the corpus-side pass is completely unchanged.
 
     Scale shape: the same one-pass partitioned probe as ann_ivf_topk
     (shared ``_partitioned_probe``), with the sign bucket as the
@@ -423,10 +431,15 @@ def ann_lsh_topk(
     q_bucket = np.array([r["bucket"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["_qq"] for r in q_rows], dtype=np.float64)
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
-    by_bucket = {
-        int(b): (q_ids[q_bucket == b], q_mat[q_bucket == b], q_norm[q_bucket == b])
-        for b in np.unique(q_bucket)
-    }
+    probe_keys = [q_bucket]
+    if probes >= 1:
+        probe_keys += [q_bucket ^ (1 << j) for j in range(bits)]
+    all_keys = np.concatenate(probe_keys)
+    all_idx = np.tile(np.arange(len(q_ids)), len(probe_keys))
+    by_bucket = {}
+    for b in np.unique(all_keys):
+        idx = all_idx[all_keys == b]
+        by_bucket[int(b)] = (q_ids[idx], q_mat[idx], q_norm[idx])
     cv = _fan_out(
         emb.select(
             F.col(id_col).alias("cand_id"),

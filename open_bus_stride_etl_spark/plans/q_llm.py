@@ -649,3 +649,49 @@ def reservoir_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.reservoir_per_group(ev, "user_id", "event_id", 3, seed="rsv").select(
         "user_id", "event_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Similarity: multi-probe LSH ANN (recall booster — probe bit-flip buckets)
+# ---------------------------------------------------------------------------
+
+_FLIP_PROBES = " UNION ALL ".join(
+    f"SELECT vec_id, xor(bucket, {1 << j}) AS bucket FROM qb0" for j in range(8)
+)
+
+@query(
+    "ann_lsh_multiprobe_topk",
+    "WITH " + _SQL_COMP + f""",
+    bk AS (SELECT vec_id, {_SQL_BUCKET} AS bucket FROM embeddings),
+    qb0 AS (SELECT vec_id, bucket FROM bk WHERE vec_id % 50 = 0),
+    qb AS (SELECT vec_id, bucket FROM qb0 UNION ALL {_FLIP_PROBES}),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id
+      FROM qb q JOIN bk c ON q.bucket = c.bucket
+      WHERE q.vec_id <> c.vec_id
+    ),
+    dots AS (
+      SELECT p.query_id, p.cand_id, SUM(a.q * b.q) AS dot
+      FROM pairs p
+      JOIN comp a ON a.vec_id = p.query_id
+      JOIN comp b ON b.vec_id = p.cand_id AND b.pos = a.pos
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, cand_id, dot / (sqrt(qa.n2) * sqrt(qb2.n2)) AS cos
+      FROM dots JOIN n2 qa ON qa.vec_id = query_id JOIN n2 qb2 ON qb2.vec_id = cand_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+          FROM scored)
+    SELECT query_id, cand_id, rank, cos FROM r WHERE rank <= 3
+    """,
+)
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: queries probe their bucket AND its 8 single-bit
+    flips, recovering near-neighbors that differ on one borderline sign
+    bit — recall rises at the cost of ~9 bucket lookups per query while
+    the corpus-side index/pass is untouched. The standard accuracy knob
+    when raising `bits` for occupancy would otherwise cost recall."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return sim.ann_lsh_topk(emb, queries, k=3, probes=1)

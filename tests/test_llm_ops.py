@@ -271,3 +271,18 @@ def test_approx_sketches_within_tolerance(spark):
     # rank-error guarantee: within ~1% of N ranks => values are close on
     # this near-uniform distribution
     assert abs(qs[0] - exact_median) < 200
+
+
+def test_multiprobe_lsh_recall_dominates_exact_bucket(spark):
+    """Multi-probe candidates are a superset of exact-bucket candidates,
+    so per query the rank-1 similarity can only improve or tie."""
+    from open_bus_stride_etl_spark.sources.lake import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    base = {r["query_id"]: r["cos"]
+            for r in sim.ann_lsh_topk(emb, queries, k=1).collect()}
+    multi = {r["query_id"]: r["cos"]
+             for r in sim.ann_lsh_topk(emb, queries, k=1, probes=1).collect()}
+    assert set(base) <= set(multi)  # probing can only add answerable queries
+    assert all(multi[q] >= base[q] for q in base)
