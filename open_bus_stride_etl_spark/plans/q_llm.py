@@ -695,3 +695,56 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return sim.ann_lsh_topk(emb, queries, k=3, probes=1)
+
+
+# ---------------------------------------------------------------------------
+# Chunking + sequence packing: the context-window stage (operators/chunking.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_chunks",
+    r"""
+    SELECT doc_id, CAST(t.i AS INT) AS chunk_no,
+           CAST(t.i * 100 AS INT) AS chunk_start,
+           substr(text, CAST(t.i * 100 + 1 AS INT), 120) AS chunk_text
+    FROM documents, LATERAL (
+      SELECT unnest(range(0, GREATEST(1,
+        CAST(CEIL((length(text) - 20) / 100.0) AS BIGINT)))) AS i) t
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 120-char windows with 20-char overlap — map-local
+    posexplode, no shuffle; the shape of every context-window splitter."""
+    from ..operators import chunking as ck
+
+    return ck.chunk_fixed(_docs(spark, sf_dir), chunk_chars=120, overlap=20)
+
+
+@query(
+    "packed_batches",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 10)) AS BIGINT) % 8 AS INT) AS shard,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, shard, CAST(FLOOR((cum - n_tokens) / 200.0) AS BIGINT) AS bin_id, n_tokens
+    FROM c
+    """,
+)
+def packed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-fit sequence packing: per md5-shard running token
+    sum => bin id; every bin totals <= budget + max_doc_tokens. Shards
+    bound the sequential cumsum so the window parallelizes — how a
+    distributed packer actually shards a corpus."""
+    from ..operators import chunking as ck
+
+    return ck.pack_greedy(_docs(spark, sf_dir), budget_tokens=200, n_shards=8)

@@ -286,3 +286,37 @@ def test_multiprobe_lsh_recall_dominates_exact_bucket(spark):
              for r in sim.ann_lsh_topk(emb, queries, k=1, probes=1).collect()}
     assert set(base) <= set(multi)  # probing can only add answerable queries
     assert all(multi[q] >= base[q] for q in base)
+
+
+def test_chunk_fixed_overlap_and_short_docs(spark):
+    from open_bus_stride_etl_spark.operators import chunking as ck
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a" * 250), Row(doc_id=2, text="short")]
+    )
+    out = {(r["doc_id"], r["chunk_no"]): r for r in ck.chunk_fixed(
+        docs, chunk_chars=100, overlap=20).collect()}
+    # 250 chars, step 80: starts 0/80/160 — last window still has >=20 new chars
+    assert sorted(k[1] for k in out if k[0] == 1) == [0, 1, 2]
+    assert out[(1, 1)]["chunk_start"] == 80
+    assert len(out[(1, 0)]["chunk_text"]) == 100
+    assert out[(1, 0)]["chunk_text"][80:] == out[(1, 1)]["chunk_text"][:20]  # overlap
+    assert out[(2, 0)]["chunk_text"] == "short"  # short doc: one chunk
+
+
+def test_pack_greedy_bins_bounded(spark):
+    from open_bus_stride_etl_spark.operators import chunking as ck
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join("w" for _ in range(5 + i % 17))) for i in range(200)]
+    )
+    out = ck.pack_greedy(docs, budget_tokens=50, n_shards=4)
+    per_bin = out.groupBy("shard", "bin_id").agg(
+        F.sum("n_tokens").alias("total"), F.max("n_tokens").alias("mx")
+    ).collect()
+    # streaming first-fit bound: bin total <= budget + largest member
+    assert all(r["total"] <= 50 + r["mx"] for r in per_bin)
+    # bins are dense per shard: 0..max with no gaps
+    for shard in {r["shard"] for r in per_bin}:
+        bins = sorted(r["bin_id"] for r in per_bin if r["shard"] == shard)
+        assert bins == list(range(len(bins)))
