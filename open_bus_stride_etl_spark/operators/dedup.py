@@ -179,3 +179,66 @@ def simhash32(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         term = bit * F.lit(1 << j).cast("long")
         sim = term if sim is None else sim + term
     return per_doc.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    threshold: int = 3,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sim_bits: int = 32,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: ``(doc_a, doc_b, hamming)`` for every
+    pair whose signatures differ in <= ``threshold`` bits.
+
+    EXACT under the pigeonhole guarantee: with ``n_bands`` equal-width
+    bands, any pair within hamming distance ``n_bands - 1`` shares at
+    least one band verbatim, so the banded equi-join enumerates every
+    qualifying pair (``threshold`` must stay < ``n_bands``) and the
+    popcount-of-xor verify drops false candidates. Candidate generation
+    shuffles on (band, value) — an equi-join, never all-pairs.
+
+    Scale knob: band width controls bucket occupancy. 32-bit/4-band
+    (8-bit values, 256 buckets/band) matches the ``simhash32`` signature
+    and is fine up to ~1M docs; at real corpus scale switch the
+    signature to 64-bit and 8 bands of 8 bits (or 4 of 16) so occupancy,
+    not corpus size, bounds the per-bucket pair count.
+    """
+    if threshold >= n_bands:
+        raise ValueError("pigeonhole exactness needs threshold < n_bands")
+    band_width = sim_bits // n_bands
+    mask = (1 << band_width) - 1
+    sims = simhash32(docs, id_col, text_col)
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), band_width * j).bitwiseAND(F.lit(mask))
+            for j in range(n_bands)
+        ]
+    )
+    bands = sims.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(band_vals).alias("band", "bv")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            [
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bv") == F.col("b.bv"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= threshold)
+    )

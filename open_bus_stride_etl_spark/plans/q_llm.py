@@ -187,6 +187,41 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup: SimHash near-dup pairs (banded hamming join)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_simhash_hamming",
+    r"""
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+    toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+    hashed AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks),
+    votes AS (SELECT doc_id, """ + _SIMHASH_VOTES + """ FROM hashed GROUP BY doc_id),
+    sims AS (SELECT doc_id, """ + _SIMHASH_BITS + """ AS simhash FROM votes),
+    bands AS (
+      SELECT doc_id, simhash, j.band, (simhash >> (8 * j.band)) & 255 AS bv
+      FROM sims, LATERAL (SELECT unnest([0, 1, 2, 3]) AS band) j
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """,
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup dedup, the scale path for boilerplate-heavy
+    corpora: banded equi-join on signature bytes (pigeonhole-exact for
+    hamming <= 3 at 4 bands), popcount(xor) verify. Complements
+    MinHash-LSH (set similarity) with bit-level cosine-ish similarity at
+    a fraction of the shuffle (4 rows/doc vs one row per shingle)."""
+    return dd.simhash_hamming_pairs(_docs(spark, sf_dir), threshold=3, n_bands=4)
+
+
+# ---------------------------------------------------------------------------
 # Similarity: brute-force cosine top-k (exact baseline)
 # ---------------------------------------------------------------------------
 
