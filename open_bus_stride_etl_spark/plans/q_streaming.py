@@ -35,6 +35,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(schema).parquet(src_dir)
     if isinstance(schema["ts"].dataType, T.LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) infers as NTZ,
+        # which withWatermark rejects; session tz is UTC so the cast is a
+        # pure relabel (same normalization as sources/lake.py:load_table).
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
