@@ -208,7 +208,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
     )
-    SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
     FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
     """,
 )
@@ -249,7 +249,7 @@ n2 AS (SELECT vec_id, SUM(q * q) AS n2 FROM comp GROUP BY vec_id)
     ),
     r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
           FROM scored)
-    SELECT query_id, cand_id, rank, cos FROM r WHERE rank <= 5
+    SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank, cos FROM r WHERE rank <= 5
     """,
 )
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,7 +289,7 @@ _SQL_BUCKET = " + ".join(
     ),
     r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
           FROM scored)
-    SELECT query_id, cand_id, rank, cos FROM r WHERE rank <= 3
+    SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank, cos FROM r WHERE rank <= 3
     """,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -437,7 +437,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
           FROM sc)
-    SELECT query_id, cand_id, rank, cos FROM r WHERE rank <= 3
+    SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank, cos FROM r WHERE rank <= 3
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -609,7 +609,7 @@ def _bucket_sql(key_expr: str, seed: str = "") -> str:
     f"""
     SELECT event_type,
            COUNT(*) AS n_rows,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_c
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
     FROM events
     WHERE {_bucket_sql("CAST(event_id AS VARCHAR)")} < 10
     GROUP BY event_type
@@ -718,7 +718,7 @@ _FLIP_PROBES = " UNION ALL ".join(
     ),
     r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
           FROM scored)
-    SELECT query_id, cand_id, rank, cos FROM r WHERE rank <= 3
+    SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank, cos FROM r WHERE rank <= 3
     """,
 )
 def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -761,8 +761,8 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id,
              CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 10)) AS BIGINT) % 8 AS INT) AS shard,
-             CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_tokens
       FROM documents
     ),
     c AS (

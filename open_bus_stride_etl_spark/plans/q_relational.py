@@ -152,7 +152,7 @@ def multikey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH dim AS (
       SELECT user_id, CAST(ts AS DATE) AS d,
-             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS day_value_c
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS day_value_c
       FROM events GROUP BY user_id, CAST(ts AS DATE)
     )
     SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS d, dim.day_value_c
@@ -206,7 +206,7 @@ def exact_ts_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.c_custkey,
            COUNT(o.o_orderkey) AS n_orders,
-           SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS total_c
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
     FROM customer c
     LEFT JOIN orders o
       ON o.o_custkey = c.c_custkey
@@ -265,7 +265,7 @@ def completeness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(ts AS DATE) AS day, event_type,
            COUNT(*) AS n,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_value_c
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
     FROM events GROUP BY CAST(ts AS DATE), event_type
     """,
 )
@@ -342,7 +342,7 @@ def distinct_set_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id, event_id, ts, rn FROM (
       SELECT user_id, event_id, ts,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS INTEGER) AS rn
       FROM events) t
     WHERE rn <= 2
     """,
@@ -508,7 +508,7 @@ def ledger_missing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n_rows,
-           GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS grouping_lvl
+           CAST(GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS INTEGER) AS grouping_lvl
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -541,9 +541,9 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
              / COUNT(*) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg,
-           SUM(CAST(value AS DECIMAL(20,6))) OVER (
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(30,6)) AS run_sum
     FROM events
     WHERE ts IS NOT NULL AND user_id % 25 = 0
     """,

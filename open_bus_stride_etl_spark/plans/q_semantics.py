@@ -373,11 +373,11 @@ def json_extract_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "content_hash",
     """
     SELECT COUNT(*) AS n_rows,
-           SUM(CAST(('0x' || substr(md5(
+           CAST(SUM(CAST(('0x' || substr(md5(
              COALESCE(CAST(event_id AS VARCHAR), chr(0) || 'NULL' || chr(0)) || '|' ||
              COALESCE(event_type, chr(0) || 'NULL' || chr(0)) || '|' ||
              COALESCE(CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR), chr(0) || 'NULL' || chr(0))
-           ), 1, 10)) AS BIGINT)) AS content_hash
+           ), 1, 10)) AS BIGINT)) AS BIGINT) AS content_hash
     FROM events
     """,
 )

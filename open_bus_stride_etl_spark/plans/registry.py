@@ -76,9 +76,9 @@ query(
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_c,
-           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) * CAST(ROUND(l_discount * 100) AS BIGINT)) AS sum_qty_disc,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_qty_disc,
            COUNT(*) AS n_rows,
            COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_high_disc
     FROM lineitem

@@ -2,10 +2,16 @@
 
 Runs every query in ``__spark_entry__.queries()`` on Spark and its
 ``oracle_sql()`` twin on DuckDB at the given scale factor, then compares
-row count, sorted column names, and cell values (rows sorted by their
-full canonical string form — order-insensitive, like the driver's
-value-hash). Exact equality is required; any float drift shows up here
-before the driver sees it.
+row count, sorted column names, normalized result TYPES, and cell values
+(rows sorted by their full canonical string form — order-insensitive,
+like the driver's value-hash). Exact equality is required; any float
+drift shows up here before the driver sees it.
+
+The type check exists because the driver's value hash is type-sensitive:
+round-1 proved that DuckDB's silent aggregate widening (SUM(BIGINT) →
+HUGEINT, SUM(DECIMAL(20,6)) → DECIMAL(38,6)) hash-mismatches a Spark
+BIGINT / DECIMAL(30,6) even when every printed value is identical. Any
+widened oracle aggregate must be wrapped in an explicit CAST.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -35,6 +41,32 @@ def canon(v):
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
+
+
+def norm_type(t: str) -> str:
+    """Normalize a Spark ``simpleString()`` / DuckDB ``str(type)`` to a
+    shared vocabulary. Width-preserving on purpose: HUGEINT stays
+    'hugeint' (never equal to 'bigint') so oracle-side widening is
+    caught; decimals keep (p,s). Timestamp flavors collapse — both
+    engines read the same parquet instants and the driver accepts them."""
+    t = t.strip().lower()
+    if t.endswith("[]"):
+        return f"array<{norm_type(t[:-2])}>"
+    if t.startswith("array<") and t.endswith(">"):
+        return f"array<{norm_type(t[6:-1])}>"
+    alias = {
+        "varchar": "string",
+        "integer": "int",
+        "real": "float",
+        "blob": "binary",
+        "timestamp_ns": "timestamp",
+        "timestamp_ms": "timestamp",
+        "timestamp_s": "timestamp",
+        "timestamp_ntz": "timestamp",
+        "timestamp with time zone": "timestamp",
+        "timestamptz": "timestamp",
+    }
+    return alias.get(t.replace(" ", "") if t.startswith("decimal") else t, t)
 
 
 def main() -> int:
@@ -71,9 +103,11 @@ def main() -> int:
             n_pass += 1
             continue
         try:
-            o = con.execute(oracles[name])
-            o_cols = sorted(d[0] for d in o.description)
-            o_rows = o.fetchall()
+            rel = con.sql(oracles[name])
+            o_names = list(rel.columns)
+            o_types = {c: str(t) for c, t in zip(o_names, rel.types)}
+            o_cols = sorted(o_names)
+            o_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
             n_fail += 1
@@ -83,11 +117,20 @@ def main() -> int:
             problems.append(f"rowcount spark={len(s_rows)} duckdb={len(o_rows)}")
         if s_cols != o_cols:
             problems.append(f"columns spark={s_cols} duckdb={o_cols}")
+        else:
+            s_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+            bad_types = [
+                f"{c}: spark={s_types[c]} duckdb={o_types[c]}"
+                for c in s_cols
+                if norm_type(s_types[c]) != norm_type(o_types[c])
+            ]
+            if bad_types:
+                problems.append("type mismatch " + "; ".join(bad_types))
         if not problems:
             s_sorted = sorted(
                 [tuple(canon(r[c]) for c in s_cols) for r in s_rows]
             )
-            o_name_idx = {d[0]: i for i, d in enumerate(o.description)}
+            o_name_idx = {c: i for i, c in enumerate(o_names)}
             o_sorted = sorted(
                 [tuple(canon(r[o_name_idx[c]]) for c in o_cols) for r in o_rows]
             )
