@@ -344,9 +344,9 @@ def siri_packages_backfill(
                         for line in fh:
                             out.write(line)
                             n_rows += 1
-            manifest = {
-                "name": hour, "fields": fields, "row_count": n_rows, "hash": hashes[hour]
-            }
+            from ..sources.csv_package import build_manifest  # noqa: PLC0415
+
+            manifest = build_manifest(hour, fields, n_rows, hashes[hour])
             with open(os.path.join(out_dir, f"{hour}-metadata.json"), "w") as fh:
                 json.dump(manifest, fh, indent=1, sort_keys=True)
             with zipfile.ZipFile(

@@ -14,6 +14,11 @@ Reference behaviors re-expressed:
 These are driver-side control-plane utilities (file counts are small);
 the data plane stays in Spark. The registry itself is a parquet table so
 its queries (latest per prefix, failures, sizes) run as DataFrames.
+
+Storage paths may be plain local paths OR any Hadoop-FS URI (s3a://…):
+object-store access goes through sources/fs.py — the cluster's own
+connector stack — with the reference's bounded-retry upload policy
+(packagers/common.py:42-62).
 """
 
 from __future__ import annotations
@@ -26,6 +31,8 @@ import shutil
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
+from . import fs
+
 ARTIFACT_SCHEMA = (
     "file_prefix string, status string, metadata_json string, error string, "
     "url string, created_at timestamp, file_size long"
@@ -33,23 +40,25 @@ ARTIFACT_SCHEMA = (
 
 
 def _registry_path(base_dir: str) -> str:
-    return os.path.join(base_dir, "artifact.parquet")
+    return fs.join_path(base_dir, "artifact.parquet")
 
 
 def read_registry(spark: SparkSession, base_dir: str) -> DataFrame:
     p = _registry_path(base_dir)
-    if not os.path.exists(p):
+    if not fs.exists(p, spark):
         return spark.createDataFrame([], ARTIFACT_SCHEMA)
     return spark.read.parquet(p)
 
 
-def probe_free_name(storage_dir: str, name: str, max_tries: int = 30) -> str:
+def probe_free_name(
+    storage_dir: str, name: str, max_tries: int = 30, spark: SparkSession | None = None
+) -> str:
     """First free destination: ``name``, else ``name__1``..; the
     reference's 30-try suffix probe (artifacts/common.py:50-74)."""
     stem, dot, ext = name.partition(".")
     for i in range(max_tries):
         cand = name if i == 0 else f"{stem}__{i}{dot}{ext}"
-        if not os.path.exists(os.path.join(storage_dir, cand)):
+        if not fs.exists(fs.join_path(storage_dir, cand), spark):
             return cand
     raise RuntimeError(f"no free artifact slot for {name} after {max_tries} tries")
 
@@ -61,14 +70,17 @@ def register_artifact(
     src_path: str,
     metadata: dict | None = None,
     now: datetime.datetime | None = None,
+    retries: int = 3,
 ) -> Row:
     """Copy ``src_path`` into the artifact store under a collision-free
-    name and append a registry row (status=uploaded)."""
-    storage = os.path.join(base_dir, "storage", file_prefix)
-    os.makedirs(storage, exist_ok=True)
-    dest_name = probe_free_name(storage, os.path.basename(src_path))
-    dest = os.path.join(storage, dest_name)
-    shutil.copyfile(src_path, dest)
+    name and append a registry row (status=uploaded). The store may be a
+    Hadoop-FS URI; the upload runs under the reference's bounded-retry
+    policy (packagers/common.py:53-62)."""
+    storage = fs.join_path(base_dir, "storage", file_prefix)
+    fs.mkdirs(storage, spark)
+    dest_name = probe_free_name(storage, os.path.basename(src_path), spark=spark)
+    dest = fs.join_path(storage, dest_name)
+    fs.with_retries(lambda: fs.copy_from_local(src_path, dest, spark), retries=retries)
     now = now or datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
     row = (
         file_prefix,
@@ -77,7 +89,7 @@ def register_artifact(
         None,
         dest,
         now,
-        os.path.getsize(dest),
+        fs.file_size(dest, spark),
     )
     spark.createDataFrame([row], ARTIFACT_SCHEMA).write.mode("append").parquet(
         _registry_path(base_dir)

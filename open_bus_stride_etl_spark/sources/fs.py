@@ -1,0 +1,138 @@
+"""Filesystem abstraction: any Hadoop-FS URI + bounded retries.
+
+The reference uploads/downloads artifacts against an S3-compatible
+object store with a bounded quadratic-backoff retry loop
+(/root/reference/open_bus_stride_etl/packagers/common.py:42-62: attempt
+i sleeps (i*i)/3 seconds, failures print and retry, exhaustion
+surfaces). This module re-expresses that storage edge Spark-first:
+
+- Paths WITHOUT a scheme stay on the local-os fast path (tests,
+  single-node runs).
+- Paths WITH a scheme (``s3a://``, ``hdfs://``, ``file:/``…) route
+  through Hadoop's ``FileSystem`` API via the live JVM gateway — the
+  same connector stack the executors use for `spark.read`/`write`, so
+  whatever object store the cluster is configured for works here with
+  zero vendor code (no boto; credentials/endpoints come from the Hadoop
+  conf exactly as they do for the data plane).
+- ``with_retries`` wraps any flaky storage call with the reference's
+  bounded policy.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from collections.abc import Callable
+from typing import TypeVar
+
+from pyspark.sql import SparkSession
+
+T = TypeVar("T")
+
+
+def is_uri(path: str) -> bool:
+    """True when the path carries a scheme (``s3a://…``, ``file:/…``) and
+    should go through Hadoop FS rather than the local os module."""
+    head = path.split("/", 1)[0]
+    return head.endswith(":") and len(head) > 2  # 'C:' style never occurs on posix
+
+
+def join_path(base: str, *parts: str) -> str:
+    if is_uri(base):
+        return "/".join([base.rstrip("/"), *[p.strip("/") for p in parts]])
+    return os.path.join(base, *parts)
+
+
+def with_retries(
+    fn: Callable[[], T],
+    retries: int = 3,
+    sleep: Callable[[float], None] = time.sleep,
+    on_error: Callable[[int, Exception], None] | None = None,
+) -> T:
+    """Run ``fn`` up to ``retries`` times with the reference's quadratic
+    backoff (attempt i>0 sleeps (i*i)/3 s; packagers/common.py:53-62).
+    Re-raises the last error when every attempt fails."""
+    last: Exception | None = None
+    for i in range(retries):
+        if i > 0:
+            sleep((i * i) / 3)
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — storage edge, retry anything
+            last = e
+            if on_error is not None:
+                on_error(i, e)
+    assert last is not None
+    raise last
+
+
+def _hadoop(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _active_spark(spark: SparkSession | None) -> SparkSession:
+    s = spark or SparkSession.getActiveSession()
+    if s is None:
+        raise RuntimeError("a SparkSession is required for Hadoop-FS URIs")
+    return s
+
+
+def exists(path: str, spark: SparkSession | None = None) -> bool:
+    if not is_uri(path):
+        return os.path.exists(path)
+    fs, jp = _hadoop(_active_spark(spark), path)
+    return fs.exists(jp)
+
+
+def mkdirs(path: str, spark: SparkSession | None = None) -> None:
+    if not is_uri(path):
+        os.makedirs(path, exist_ok=True)
+        return
+    fs, jp = _hadoop(_active_spark(spark), path)
+    fs.mkdirs(jp)
+
+
+def copy_from_local(src: str, dest: str, spark: SparkSession | None = None) -> None:
+    """Upload a local file to ``dest`` (any scheme). Local→local copies
+    bypass the JVM."""
+    if not is_uri(dest):
+        shutil.copyfile(src, dest)
+        return
+    s = _active_spark(spark)
+    fs, jdest = _hadoop(s, dest)
+    jsrc = s._jvm.org.apache.hadoop.fs.Path(os.path.abspath(src))
+    fs.copyFromLocalFile(False, True, jsrc, jdest)
+
+
+def file_size(path: str, spark: SparkSession | None = None) -> int:
+    if not is_uri(path):
+        return os.path.getsize(path)
+    fs, jp = _hadoop(_active_spark(spark), path)
+    return fs.getFileStatus(jp).getLen()
+
+
+def rename(src: str, dest: str, spark: SparkSession | None = None) -> bool:
+    """Move/rename within one filesystem. NOTE: on object stores rename
+    is copy+delete, not atomic — single-writer task scheduling (one
+    scheduler per table, like the reference's Airflow DAGs) is what makes
+    the snapshot swap safe there."""
+    if not is_uri(src) and not is_uri(dest):
+        os.rename(src, dest)
+        return True
+    s = _active_spark(spark)
+    fs, jsrc = _hadoop(s, src)
+    jdest = s._jvm.org.apache.hadoop.fs.Path(dest)
+    return fs.rename(jsrc, jdest)
+
+
+def delete(path: str, spark: SparkSession | None = None) -> None:
+    if not is_uri(path):
+        shutil.rmtree(path, ignore_errors=True)
+        return
+    fs, jp = _hadoop(_active_spark(spark), path)
+    if fs.exists(jp):
+        fs.delete(jp, True)

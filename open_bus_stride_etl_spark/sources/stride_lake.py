@@ -15,11 +15,11 @@ local-mode equivalent that keeps tests hermetic.
 
 from __future__ import annotations
 
-import os
-import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+from . import fs
 
 STRIDE_TABLES = (
     "siri_snapshot",
@@ -37,11 +37,13 @@ STRIDE_TABLES = (
 
 
 def table_path(base_dir: str, name: str) -> str:
-    return os.path.join(base_dir, f"{name}.parquet")
+    """``base_dir`` may be a plain path or any Hadoop-FS URI (s3a://…):
+    every consumer goes through sources/fs.py for existence/rename."""
+    return fs.join_path(base_dir, f"{name}.parquet")
 
 
 def table_exists(base_dir: str, name: str) -> bool:
-    return os.path.exists(table_path(base_dir, name))
+    return fs.exists(table_path(base_dir, name))
 
 
 def read_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
@@ -56,13 +58,14 @@ def overwrite_table(df: DataFrame, base_dir: str, name: str) -> int:
     Single-writer semantics (one scheduler per task), like the reference's
     per-task Airflow DAGs.
     """
+    spark = df.sparkSession
     final = table_path(base_dir, name)
     tmp = f"{final}.tmp-{int(time.time() * 1000)}"
     df.write.mode("overwrite").parquet(tmp)
-    n = df.sparkSession.read.parquet(tmp).count()
+    n = spark.read.parquet(tmp).count()
     old = f"{final}.old-{int(time.time() * 1000)}"
-    if os.path.exists(final):
-        os.rename(final, old)
-    os.rename(tmp, final)
-    shutil.rmtree(old, ignore_errors=True)
+    if fs.exists(final, spark):
+        fs.rename(final, old, spark)
+    fs.rename(tmp, final, spark)
+    fs.delete(old, spark)
     return n

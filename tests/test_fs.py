@@ -1,0 +1,79 @@
+"""sources/fs.py: Hadoop-FS URI routing + the bounded-retry policy.
+
+The retry policy mirrors the reference's object-store loop
+(packagers/common.py:53-62: quadratic backoff, bounded attempts). The
+URI tests drive the REAL Hadoop FileSystem API through `file:` URIs —
+the same code path an `s3a://` store takes on a cluster, minus the
+network."""
+
+import pytest
+from pyspark.sql import Row
+
+from open_bus_stride_etl_spark.sources import fs
+from open_bus_stride_etl_spark.sources.artifacts import latest_artifact, register_artifact
+from open_bus_stride_etl_spark.sources.stride_lake import (
+    overwrite_table,
+    read_table,
+    table_exists,
+)
+
+
+def test_is_uri_and_join():
+    assert fs.is_uri("s3a://bucket/key")
+    assert fs.is_uri("file:/tmp/x")
+    assert fs.is_uri("hdfs://nn:8020/data")
+    assert not fs.is_uri("/tmp/x")
+    assert not fs.is_uri("relative/path")
+    assert fs.join_path("s3a://b/base/", "t.parquet") == "s3a://b/base/t.parquet"
+    assert fs.join_path("/tmp/base", "t.parquet") == "/tmp/base/t.parquet"
+
+
+def test_with_retries_flaky_then_success():
+    calls, sleeps = [], []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise OSError("transient storage error")
+        return "ok"
+
+    assert fs.with_retries(flaky, retries=5, sleep=sleeps.append) == "ok"
+    assert len(calls) == 3
+    # reference backoff: attempt i sleeps (i*i)/3
+    assert sleeps == [pytest.approx(1 / 3), pytest.approx(4 / 3)]
+
+
+def test_with_retries_exhaustion_raises():
+    sleeps = []
+
+    def always_down():
+        raise OSError("bucket unreachable")
+
+    with pytest.raises(OSError, match="bucket unreachable"):
+        fs.with_retries(always_down, retries=3, sleep=sleeps.append)
+    assert len(sleeps) == 2
+
+
+def test_stride_lake_accepts_fs_uri(spark, tmp_path):
+    """table snapshot swap through the Hadoop FileSystem API."""
+    base = f"file:{tmp_path}"
+    df1 = spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")])
+    assert not table_exists(base, "siri_ride")
+    assert overwrite_table(df1, base, "siri_ride") == 2
+    assert table_exists(base, "siri_ride")
+    df2 = spark.createDataFrame([Row(id=3, v="c")])
+    assert overwrite_table(df2, base, "siri_ride") == 1  # swap over existing
+    assert [r["id"] for r in read_table(spark, base, "siri_ride").collect()] == [3]
+
+
+def test_register_artifact_at_fs_uri(spark, tmp_path):
+    src = tmp_path / "pkg.zip"
+    src.write_bytes(b"payload-bytes")
+    base = f"file:{tmp_path}/store"
+    r1 = register_artifact(spark, base, "siri/2024/05", str(src), metadata={"k": 1})
+    r2 = register_artifact(spark, base, "siri/2024/05", str(src))
+    assert r1["url"].endswith("pkg.zip")
+    assert r2["url"].endswith("pkg__1.zip")  # collision probe over Hadoop FS
+    assert r1["file_size"] == len(b"payload-bytes")
+    latest = latest_artifact(spark, base, "siri/2024/05")
+    assert latest is not None and latest["url"] == r2["url"]

@@ -1,12 +1,18 @@
 """Package write -> read roundtrip (S4/S5/S6) and the salted skew join."""
 
 import datetime
+import json
 
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from open_bus_stride_etl_spark.operators.skew import salted_join
-from open_bus_stride_etl_spark.sources.csv_package import load_package, write_package
+from open_bus_stride_etl_spark.sources.csv_package import (
+    load_package,
+    manifest_row_count,
+    read_manifest,
+    write_package,
+)
 
 
 def test_package_roundtrip_types(spark, tmp_path):
@@ -28,6 +34,76 @@ def test_package_roundtrip_types(spark, tmp_path):
     assert got[1]["name"] == "a,b"  # quoted comma survived CSV
     assert got[1]["ts"] == datetime.datetime(2024, 5, 1, 10, 0)
     assert got[2]["v"] is None and got[2]["ok"] is False
+
+
+def test_write_package_single_execution(spark, tmp_path):
+    """The hash/count ride along with the CSV write as observed metrics:
+    exactly ONE Spark job per package (the reference-parity fix for the
+    hash+count+write triple execution)."""
+    df = spark.range(0, 100, 1, 4).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.jobGroup.id", "pkg_single_exec")
+    try:
+        manifest = write_package(df, str(tmp_path), "one")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = sc.statusTracker().getJobIdsForGroup("pkg_single_exec")
+    assert len(jobs) == 1, f"expected 1 Spark job for write_package, saw {len(jobs)}"
+    assert manifest_row_count(manifest) == 100
+    assert manifest["hash"] > 0
+
+
+def test_manifest_is_frictionless_shaped(spark, tmp_path):
+    df = spark.createDataFrame([Row(id=1, v=1.5)], "id long, v double")
+    write_package(df, str(tmp_path), "fr")
+    m = read_manifest(str(tmp_path), "fr")
+    res = m["resources"][0]
+    assert m["profile"] == "data-package" and "hash" in m and "count_of_rows" in m
+    assert res["path"] == "fr.csv" and res["profile"] == "tabular-data-resource"
+    assert [(f["name"], f["type"]) for f in res["schema"]["fields"]] == [
+        ("id", "integer"), ("v", "number"),
+    ]
+
+
+def test_load_reference_shaped_manifest(spark, tmp_path):
+    """A datapackage.json as the reference's `dataflows` dump emits it —
+    datapackage types only, no spark_type annotations — must load with
+    the right Spark schema (packagers/siri.py:125-147 consumers)."""
+    (tmp_path / "ref.csv").write_text(
+        "id,name,seen,score,ok\n1,ana,2024-05-01T10:00:00,1.5,true\n2,,,,false\n"
+    )
+    manifest = {
+        "name": "ref",
+        "profile": "data-package",
+        "hash": "a" * 32,  # reference stores an md5 string; must not crash us
+        "count_of_rows": 2,
+        "resources": [
+            {
+                "name": "ref",
+                "path": "ref.csv",
+                "profile": "tabular-data-resource",
+                "format": "csv",
+                "schema": {
+                    "fields": [
+                        {"name": "id", "type": "integer"},
+                        {"name": "name", "type": "string"},
+                        {"name": "seen", "type": "datetime"},
+                        {"name": "score", "type": "number"},
+                        {"name": "ok", "type": "boolean"},
+                    ]
+                },
+            }
+        ],
+    }
+    (tmp_path / "ref-metadata.json").write_text(json.dumps(manifest))
+    back = load_package(spark, str(tmp_path), "ref")
+    assert [(f.name, f.dataType.simpleString()) for f in back.schema] == [
+        ("id", "bigint"), ("name", "string"), ("seen", "timestamp"),
+        ("score", "double"), ("ok", "boolean"),
+    ]
+    got = {r["id"]: r for r in back.collect()}
+    assert got[1]["seen"] == datetime.datetime(2024, 5, 1, 10, 0)
+    assert got[1]["score"] == 1.5 and got[2]["name"] is None and got[2]["ok"] is False
 
 
 def test_salted_join_matches_plain_join(spark):
