@@ -26,7 +26,12 @@ def latest_snapshot_age_seconds(
     row = snapshots.agg(F.max(ts_col).alias("latest")).collect()[0]
     if row["latest"] is None:
         return None
-    now = now or datetime.datetime.utcnow()
+    # naive-UTC to match the tz-naive instants Spark rows collect as
+    # (session tz is pinned UTC); utcnow() is deprecated and drifts into
+    # naive/aware mixing when callers pass aware datetimes.
+    now = now or datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+    if now.tzinfo is not None:
+        now = now.astimezone(datetime.timezone.utc).replace(tzinfo=None)
     return (now - row["latest"]).total_seconds()
 
 
