@@ -222,6 +222,58 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup: connected components over near-dup pairs -> survivor election
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_groups_cc",
+    r"""
+    WITH RECURSIVE
+    norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+    toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+    hashed AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks),
+    votes AS (SELECT doc_id, """ + _SIMHASH_VOTES + """ FROM hashed GROUP BY doc_id),
+    sims AS (SELECT doc_id, """ + _SIMHASH_BITS + """ AS simhash FROM votes),
+    bands AS (
+      SELECT doc_id, simhash, j.band, (simhash >> (8 * j.band)) & 255 AS bv
+      FROM sims, LATERAL (SELECT unnest([0, 1, 2, 3]) AS band) j
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT CAST(u AS BIGINT) AS doc_id,
+           CAST(LEAST(u, MIN(v)) AS BIGINT) AS component_id
+    FROM reach GROUP BY u
+    """,
+)
+def dedup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS, not just pairs: connected components over the
+    SimHash pair graph; component_id = MIN doc id = the elected survivor
+    (keep-first). The oracle is a recursive-CTE transitive closure —
+    exact but quadratic-in-component; the Spark side is the
+    O(log^2 n)-round large-star/small-star operator
+    (operators/dedup.py:connected_components), the corpus-scale path."""
+    pairs = dd.simhash_hamming_pairs(_docs(spark, sf_dir), threshold=3, n_bands=4)
+    return dd.connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
 # Similarity: brute-force cosine top-k (exact baseline)
 # ---------------------------------------------------------------------------
 

@@ -220,6 +220,7 @@ def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multikey_join ≈ flat_export+code_date_dim_join). The LLM-pipeline,
 # sampling, chunking, multimodal and streaming queries move ahead of them.
 _DEMOTE_LAST = [
+    "ride_durations_guarded",  # A4+guards variant; A4 core stays in-window via first_last_durations
     "date_window_inclusive",
     "null_marker_todo",
     "like_prefix",

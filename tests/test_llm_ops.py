@@ -320,3 +320,58 @@ def test_pack_greedy_bins_bounded(spark):
     for shard in {r["shard"] for r in per_bin}:
         bins = sorted(r["bin_id"] for r in per_bin if r["shard"] == shard)
         assert bins == list(range(len(bins)))
+
+
+def _uf_components(n_nodes, edges):
+    """Reference union-find for the CC property test."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    out = {}
+    touched = {u for e in edges for u in e}
+    for x in touched:
+        out[x] = find(x)
+    return out
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # a long chain: worst case for naive label propagation
+        [(i, i + 1) for i in range(60)],
+        # two cliques + a bridge + an isolated pair
+        [(i, j) for i in range(5) for j in range(i + 1, 5)]
+        + [(i, j) for i in range(10, 16) for j in range(i + 1, 16)]
+        + [(4, 10), (100, 101)],
+        # star with high-id center (exercises both large- and small-star)
+        [(99, i) for i in range(20)],
+        # pseudo-random graph, deterministic seed
+        [((i * 7919) % 50, (i * 104729) % 50) for i in range(80) if (i * 7919) % 50 != (i * 104729) % 50],
+    ],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    expected = _uf_components(200, edges)
+    pairs = spark.createDataFrame(
+        [Row(doc_a=u, doc_b=v) for u, v in edges], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dd.connected_components(pairs).collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_empty_and_self_loops(spark):
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dd.connected_components(empty).count() == 0
+    loops = spark.createDataFrame([Row(doc_a=7, doc_b=7)], "doc_a long, doc_b long")
+    assert dd.connected_components(loops).count() == 0
