@@ -199,18 +199,19 @@ def connected_components(
     def _checkpoint_with_fingerprint(df: DataFrame):
         """Materialize one round AND collect its edge-set fingerprint in
         the SAME job (Observation rides the localCheckpoint action) —
-        no separate convergence-check aggregation per round. The hash
-        term is masked to 40 bits pre-sum so the int64 sum stays exact
-        (no ANSI overflow) up to ~8M edges per fingerprint."""
+        no separate convergence-check aggregation per round. Every
+        summed term is masked to 40 bits pre-sum so the int64 sums stay
+        exact (no ANSI overflow) up to ~8M edges per fingerprint."""
+        mask = F.lit((1 << 40) - 1)
         obs = Observation()
         ck = df.observe(
             obs,
             F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum("u"), F.lit(0)).alias("su"),
-            F.coalesce(F.sum("v"), F.lit(0)).alias("sv"),
-            F.coalesce(
-                F.sum(F.xxhash64("u", "v").bitwiseAND(F.lit((1 << 40) - 1))), F.lit(0)
-            ).alias("sh"),
+            # every summed term is masked to 40 bits, incl. the raw ids —
+            # doc ids may themselves be full-range hash longs
+            F.coalesce(F.sum(F.xxhash64("u").bitwiseAND(mask)), F.lit(0)).alias("su"),
+            F.coalesce(F.sum(F.xxhash64("v").bitwiseAND(mask)), F.lit(0)).alias("sv"),
+            F.coalesce(F.sum(F.xxhash64("u", "v").bitwiseAND(mask)), F.lit(0)).alias("sh"),
         ).localCheckpoint()
         m = obs.get
         return ck, (m["n"], m["su"], m["sv"], m["sh"])

@@ -171,15 +171,33 @@ _SIMHASH_VOTES = ", ".join(
 _SIMHASH_BITS = " + ".join(
     f"(CASE WHEN v{j} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {j})" for j in range(32)
 )
+# Shared oracle twin of operators/dedup.py:simhash32 — ONE definition for
+# the three simhash queries below, so a tokenization/banding tweak cannot
+# desynchronize them.
+_SQL_SIMHASH_SIMS = (
+    r"""norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+    toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+    hashed AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks),
+    votes AS (SELECT doc_id, """ + _SIMHASH_VOTES + """ FROM hashed GROUP BY doc_id),
+    sims AS (SELECT doc_id, """ + _SIMHASH_BITS + """ AS simhash FROM votes)"""
+)
+# ... and of simhash_hamming_pairs' banded candidate generation.
+_SQL_SIMHASH_CAND = """
+    bands AS (
+      SELECT doc_id, simhash, j.band, (simhash >> (8 * j.band)) & 255 AS bv
+      FROM sims, LATERAL (SELECT unnest([0, 1, 2, 3]) AS band) j
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )"""
 
 @query(
     "simhash_signatures",
-    r"""
-    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
-    toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
-    hashed AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks),
-    votes AS (SELECT doc_id, """ + _SIMHASH_VOTES + """ FROM hashed GROUP BY doc_id)
-    SELECT doc_id, """ + _SIMHASH_BITS + """ AS simhash FROM votes
+    "WITH " + _SQL_SIMHASH_SIMS + """
+    SELECT doc_id, simhash FROM sims
     """,
 )
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,22 +210,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_simhash_hamming",
-    r"""
-    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
-    toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
-    hashed AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks),
-    votes AS (SELECT doc_id, """ + _SIMHASH_VOTES + """ FROM hashed GROUP BY doc_id),
-    sims AS (SELECT doc_id, """ + _SIMHASH_BITS + """ AS simhash FROM votes),
-    bands AS (
-      SELECT doc_id, simhash, j.band, (simhash >> (8 * j.band)) & 255 AS bv
-      FROM sims, LATERAL (SELECT unnest([0, 1, 2, 3]) AS band) j
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.simhash AS sim_a, b.simhash AS sim_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-    )
+    "WITH " + _SQL_SIMHASH_SIMS + "," + _SQL_SIMHASH_CAND + """
     SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
     FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
     """,
@@ -227,23 +230,7 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_groups_cc",
-    r"""
-    WITH RECURSIVE
-    norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
-    toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
-    hashed AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks),
-    votes AS (SELECT doc_id, """ + _SIMHASH_VOTES + """ FROM hashed GROUP BY doc_id),
-    sims AS (SELECT doc_id, """ + _SIMHASH_BITS + """ AS simhash FROM votes),
-    bands AS (
-      SELECT doc_id, simhash, j.band, (simhash >> (8 * j.band)) & 255 AS bv
-      FROM sims, LATERAL (SELECT unnest([0, 1, 2, 3]) AS band) j
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.simhash AS sim_a, b.simhash AS sim_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-    ),
+    "WITH RECURSIVE " + _SQL_SIMHASH_SIMS + "," + _SQL_SIMHASH_CAND + """,
     pairs AS (
       SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
     ),

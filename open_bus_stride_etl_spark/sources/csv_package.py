@@ -166,7 +166,13 @@ def write_package(
         csv_path = os.path.join(out_dir, f"{base_name}.csv")
         with open(csv_path, "wb") as out:
             if not parts:  # zero partitions: header-only artifact
-                out.write((",".join(df.columns) + "\n").encode())
+                # RFC-4180 quoting, matching Spark's own header escaping
+                import csv as _csv  # noqa: PLC0415
+                import io  # noqa: PLC0415
+
+                buf = io.StringIO()
+                _csv.writer(buf, lineterminator="\n").writerow(df.columns)
+                out.write(buf.getvalue().encode())
             for i, p in enumerate(parts):
                 with open(p, "rb") as fh:
                     if i > 0:

@@ -50,9 +50,12 @@ def with_retries(
     sleep: Callable[[float], None] = time.sleep,
     on_error: Callable[[int, Exception], None] | None = None,
 ) -> T:
-    """Run ``fn`` up to ``retries`` times with the reference's quadratic
+    """Run ``fn`` up to ``retries`` TOTAL attempts (retries=3 is one try
+    plus two retries, matching the reference's loop) with quadratic
     backoff (attempt i>0 sleeps (i*i)/3 s; packagers/common.py:53-62).
     Re-raises the last error when every attempt fails."""
+    if retries < 1:
+        raise ValueError(f"retries must be >= 1 (total attempts), got {retries}")
     last: Exception | None = None
     for i in range(retries):
         if i > 0:
@@ -116,11 +119,15 @@ def file_size(path: str, spark: SparkSession | None = None) -> int:
 
 
 def rename(src: str, dest: str, spark: SparkSession | None = None) -> bool:
-    """Move/rename within one filesystem. NOTE: on object stores rename
-    is copy+delete, not atomic — single-writer task scheduling (one
+    """Move/rename within ONE filesystem (mixed local/URI raises — a
+    schemeless path would silently resolve against the cluster's default
+    FS, targeting the wrong store). NOTE: on object stores rename is
+    copy+delete, not atomic — single-writer task scheduling (one
     scheduler per table, like the reference's Airflow DAGs) is what makes
     the snapshot swap safe there."""
-    if not is_uri(src) and not is_uri(dest):
+    if is_uri(src) != is_uri(dest):
+        raise ValueError(f"rename across filesystems is not supported: {src} -> {dest}")
+    if not is_uri(src):
         os.rename(src, dest)
         return True
     s = _active_spark(spark)
@@ -130,8 +137,13 @@ def rename(src: str, dest: str, spark: SparkSession | None = None) -> bool:
 
 
 def delete(path: str, spark: SparkSession | None = None) -> None:
+    """Remove a file or directory tree; missing paths are a no-op (same
+    contract on both branches)."""
     if not is_uri(path):
-        shutil.rmtree(path, ignore_errors=True)
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.remove(path)
         return
     fs, jp = _hadoop(_active_spark(spark), path)
     if fs.exists(jp):

@@ -64,8 +64,13 @@ def overwrite_table(df: DataFrame, base_dir: str, name: str) -> int:
     df.write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
     old = f"{final}.old-{int(time.time() * 1000)}"
+    # Hadoop FileSystem.rename reports failure by RETURNING false (not
+    # raising); an unchecked false here would nest tmp inside the still-
+    # existing final dir and silently corrupt the snapshot.
     if fs.exists(final, spark):
-        fs.rename(final, old, spark)
-    fs.rename(tmp, final, spark)
+        if not fs.rename(final, old, spark):
+            raise OSError(f"snapshot swap failed: could not move {final} -> {old}")
+    if not fs.rename(tmp, final, spark):
+        raise OSError(f"snapshot swap failed: could not move {tmp} -> {final}")
     fs.delete(old, spark)
     return n

@@ -52,3 +52,23 @@ def test_query_and_oracle_column_names_match(spark, sf_dir):
         if spark_cols != duck_cols:
             mismatches.append((name, spark_cols, duck_cols))
     assert not mismatches, mismatches
+
+
+def test_substantive_queries_fit_driver_window():
+    """The external verifier checks only the FIRST registry.DRIVER_WINDOW
+    registered queries. Every demoted (trivial-variant) query must sit in
+    the tail, and everything substantive must fit inside the window —
+    adding a query without demoting one fails here, not silently at
+    verification time."""
+    import __spark_entry__ as entry_mod
+    from open_bus_stride_etl_spark.plans import registry
+
+    names = list(entry_mod.queries())
+    window = names[: registry.DRIVER_WINDOW]
+    spilled = [n for n in window if n in registry._DEMOTE_LAST]
+    overflow = [n for n in names[registry.DRIVER_WINDOW:] if n not in registry._DEMOTE_LAST]
+    assert not overflow, (
+        f"substantive queries past position {registry.DRIVER_WINDOW} "
+        f"(driver-unverified): {overflow} — demote a redundant variant instead"
+    )
+    assert spilled == [], f"demoted queries inside the window: {spilled}"

@@ -66,7 +66,9 @@ def norm_type(t: str) -> str:
         "timestamp with time zone": "timestamp",
         "timestamptz": "timestamp",
     }
-    return alias.get(t.replace(" ", "") if t.startswith("decimal") else t, t)
+    if t.startswith("decimal"):
+        return t.replace(" ", "")  # 'decimal(30, 6)' == 'decimal(30,6)'
+    return alias.get(t, t)
 
 
 def main() -> int:
