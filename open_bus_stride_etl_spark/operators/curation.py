@@ -1,0 +1,116 @@
+"""Corpus curation operators: per-group quantile quality filtering and
+deterministic source balancing (LLM training-data pipeline extensions;
+no reference-repo analog — the reference is transit ETL).
+
+Scale design — both operators avoid the trap their naive formulations
+fall into at 100 TB:
+
+- Quantile threshold WITHOUT a global sort: quality scores live in the
+  bounded integer domain [0, 10000] (basis points), so the per-group
+  k-th order statistic is computed from a per-(group, score) HISTOGRAM —
+  a map-side-combined aggregation of at most 10001 rows per group —
+  instead of rank-over-partition, which would sort one giant shuffle
+  partition per group. The tiny threshold table broadcasts back; the
+  keep-filter is map-local.
+- Source balancing WITHOUT per-source ranking: per-source keep RATES
+  (derived from one tiny count aggregation) turn into a deterministic
+  md5-bucket filter — map-local after a broadcast join, reproducible
+  across reruns and repartitionings, no quota sort. The k-th order
+  statistic is tie-safe (the VALUE at rank k is deterministic even when
+  row order among ties is not), which is what makes both operators
+  exactly oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hex_to_long
+
+
+def quantile_threshold_filter(
+    scored: DataFrame,
+    group_col: str,
+    score_col: str,
+    keep_top_n_of: tuple[int, int] = (1, 5),
+) -> DataFrame:
+    """Keep the top ``num/den`` fraction of rows per group by integer
+    score, tie-inclusive: threshold t = the k-th highest score where
+    k = ceil(n * num / den), keep rows with score >= t (ties at the
+    threshold are all kept — deterministic, unlike an arbitrary tiebreak).
+
+    Adds ``thr_<score_col>`` (the group's threshold) to the output.
+    ``score_col`` must be integral and bounded (basis points) — that is
+    what makes the histogram formulation exact and tiny."""
+    num, den = keep_top_n_of
+    hist = scored.groupBy(group_col, score_col).agg(F.count(F.lit(1)).alias("_c"))
+    w_desc = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(score_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    cum = hist.select(
+        group_col,
+        score_col,
+        F.sum("_c").over(w_desc).alias("_n_ge"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
+    k = F.expr(f"div(_n * {num} + {den} - 1, {den})")  # ceil(n*num/den), pure integers
+    thr = (
+        cum.where(F.col("_n_ge") >= k)
+        .groupBy(group_col)
+        .agg(F.max(score_col).alias(f"thr_{score_col}"))
+    )
+    return scored.join(F.broadcast(thr), on=group_col).where(
+        F.col(score_col) >= F.col(f"thr_{score_col}")
+    )
+
+
+def hash_bucket_bp(key: Column) -> Column:
+    """Deterministic basis-point bucket in [0, 10000) from md5 of the
+    key — the same engine-portable membership primitive as
+    operators/sampling.py, at rate resolution."""
+    return hex_to_long(F.substring(F.md5(key.cast("string")), 1, 10)) % 10000
+
+
+def balance_sources(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Downsample every source to ~the smallest source's size (uniform
+    source mixing): per-source keep rate (basis points) =
+    floor(min_n * 10000 / n_source); a doc survives when its
+    deterministic md5 bucket falls under its source's rate. Returns
+    per-source stats: n_docs, rate_bp, n_kept.
+
+    Exact-by-construction across engines AND across cluster layouts:
+    membership depends only on the doc id, never on partitioning or row
+    order. The rate table is one tiny aggregation + broadcast; the
+    filter is map-local (this is the 100 TB-safe shape — a per-source
+    rank/quota would sort giant single-source partitions)."""
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    min_n = counts.agg(F.min("n_docs").alias("_min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        source_col,
+        "n_docs",
+        F.expr("div(_min_n * 10000, n_docs)").cast("long").alias("rate_bp"),
+    )
+    kept = (
+        docs.select(source_col, hash_bucket_bp(F.col(id_col)).alias("_b"))
+        .join(F.broadcast(rates), on=source_col)
+        .where(F.col("_b") < F.col("rate_bp"))
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, on=source_col, how="left")
+        .select(
+            source_col,
+            "n_docs",
+            "rate_bp",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )

@@ -633,6 +633,84 @@ def corpus_clean_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Curation: per-group quantile quality filter + source balancing
+# (operators/curation.py) — the corpus-mixing stage of a training pipeline.
+# ---------------------------------------------------------------------------
+
+@query(
+    "quantile_quality_keep",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {_SQL_QUALITY} AS quality_bp FROM documents
+    ),
+    hist AS (SELECT lang, quality_bp, COUNT(*) AS c FROM scored GROUP BY lang, quality_bp),
+    cum AS (
+      SELECT lang, quality_bp,
+             SUM(c) OVER (PARTITION BY lang ORDER BY quality_bp DESC) AS n_ge,
+             SUM(c) OVER (PARTITION BY lang) AS n
+      FROM hist
+    ),
+    thr AS (
+      SELECT lang, MAX(quality_bp) AS thr_quality_bp
+      FROM cum WHERE n_ge >= (n + 4) // 5
+      GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.quality_bp, t.thr_quality_bp
+    FROM scored s JOIN thr t ON s.lang = t.lang
+    WHERE s.quality_bp >= t.thr_quality_bp
+    """,
+)
+def quantile_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep each language's top ~20% of documents by quality, threshold
+    tie-inclusive. The threshold is the k-th order statistic computed
+    from the bounded [0,10000] score HISTOGRAM — a tiny map-combined
+    aggregation + broadcast, never a rank over a giant per-language
+    partition (the 100 TB trap of the naive window formulation)."""
+    from ..operators import curation as cu  # noqa: PLC0415
+
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id", "lang", tx.quality_score_bp(F.col("text")).alias("quality_bp")
+    )
+    return cu.quantile_threshold_filter(
+        scored, "lang", "quality_bp", keep_top_n_of=(1, 5)
+    ).select("doc_id", "lang", "quality_bp", "thr_quality_bp")
+
+
+@query(
+    "source_balance_stats",
+    """
+    WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    m AS (SELECT MIN(n_docs) AS min_n FROM counts),
+    rates AS (
+      SELECT source, n_docs,
+             CAST((min_n * 10000) // n_docs AS BIGINT) AS rate_bp
+      FROM counts, m
+    ),
+    kept AS (
+      SELECT d.source, COUNT(*) AS n_kept
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 10)) AS BIGINT) % 10000
+            < r.rate_bp
+      GROUP BY d.source
+    )
+    SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs, r.rate_bp,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM rates r LEFT JOIN kept k ON k.source = r.source
+    """,
+)
+def source_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform source mixing: every source downsampled to ~the smallest
+    source via a deterministic md5-bucket keep rate — membership is a
+    pure function of doc_id (reproducible across engines, reruns and
+    partitionings), and the filter is map-local after a broadcast of the
+    tiny per-source rate table. No per-source rank/quota sort."""
+    from ..operators import curation as cu  # noqa: PLC0415
+
+    return cu.balance_sources(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # Sampling: deterministic hash membership (reproducible at 100 TB, and —
 # unlike RNG sampling — oracle-checkable). operators/sampling.py.
 # ---------------------------------------------------------------------------

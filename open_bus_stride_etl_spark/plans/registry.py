@@ -224,6 +224,8 @@ def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_WINDOW = 50
 _DEMOTE_LAST = [
     "ride_durations_guarded",  # A4+guards variant; A4 core stays in-window via first_last_durations
+    "first_last_by_seq",  # A5 by-sequence twin of the same min_by/max_by operator
+    "window_id_bounds",  # P7/A3 min/max/count; overlaps hourly_minmax + keyset docs
     "date_window_inclusive",
     "null_marker_todo",
     "like_prefix",

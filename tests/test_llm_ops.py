@@ -375,3 +375,36 @@ def test_connected_components_empty_and_self_loops(spark):
     assert dd.connected_components(empty).count() == 0
     loops = spark.createDataFrame([Row(doc_a=7, doc_b=7)], "doc_a long, doc_b long")
     assert dd.connected_components(loops).count() == 0
+
+
+def test_quantile_threshold_filter_tie_inclusive(spark):
+    from open_bus_stride_etl_spark.operators import curation as cu
+
+    # group g: scores 10,9,8,8,8,1,1,1,1,1 (n=10, k=ceil(10/5)=2 -> t=9)
+    rows = [Row(g="g", id=i, s=s) for i, s in enumerate([10, 9, 8, 8, 8, 1, 1, 1, 1, 1])]
+    # group h: all ties (n=5, k=1 -> t=7, everything kept)
+    rows += [Row(g="h", id=100 + i, s=7) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, id long, s long")
+    out = cu.quantile_threshold_filter(df, "g", "s", keep_top_n_of=(1, 5)).collect()
+    got = {(r["g"], r["id"]): r["thr_s"] for r in out}
+    assert {k for k in got if k[0] == "g"} == {("g", 0), ("g", 1)}  # 10 and 9
+    assert all(v == 9 for k, v in got.items() if k[0] == "g")
+    assert len([k for k in got if k[0] == "h"]) == 5  # ties all kept
+    assert all(v == 7 for k, v in got.items() if k[0] == "h")
+
+
+def test_balance_sources_rates_and_determinism(spark):
+    from open_bus_stride_etl_spark.operators import curation as cu
+
+    rows = [Row(source="big", doc_id=i) for i in range(1000)] + [
+        Row(source="small", doc_id=10_000 + i) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    out = {r["source"]: r for r in cu.balance_sources(df).collect()}
+    assert out["small"]["rate_bp"] == 10000 and out["small"]["n_kept"] == 100
+    assert out["big"]["rate_bp"] == 1000  # 100/1000 of 10000 bp
+    # md5 membership is a pure function of doc_id: repartitioning is a no-op
+    out2 = {r["source"]: r for r in cu.balance_sources(df.repartition(13)).collect()}
+    assert out == out2
+    # kept count tracks the rate (binomial-ish, wide tolerance)
+    assert 60 <= out["big"]["n_kept"] <= 140
