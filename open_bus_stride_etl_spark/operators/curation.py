@@ -105,8 +105,10 @@ def balance_sources(
         .groupBy(source_col)
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
+    # kept is one row per source (tiny by construction) — broadcast it so
+    # the stats join never sort-merges
     return (
-        rates.join(kept, on=source_col, how="left")
+        rates.join(F.broadcast(kept), on=source_col, how="left")
         .select(
             source_col,
             "n_docs",
