@@ -121,3 +121,15 @@ def test_salted_join_matches_plain_join(spark):
     )
     n_salts_hot = b.where(F.col("k") == 1).select("_salt").distinct().count()
     assert n_salts_hot == 8
+
+
+def test_write_package_zero_rows_header_only(spark, tmp_path):
+    """An empty hour still publishes a valid package: header-only CSV,
+    count_of_rows 0, hash 0 — and loads back empty with the right
+    schema (the backfill/sweep agreement depends on this)."""
+    df = spark.createDataFrame([], "id long, name string").where(F.lit(False))
+    manifest = write_package(df, str(tmp_path), "empty")
+    assert manifest_row_count(manifest) == 0 and manifest["hash"] == 0
+    back = load_package(spark, str(tmp_path), "empty")
+    assert back.count() == 0
+    assert [f.name for f in back.schema] == ["id", "name"]
