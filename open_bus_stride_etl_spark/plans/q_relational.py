@@ -534,41 +534,69 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "moving_avg_frame",
     """
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CAST(CAST(value AS DECIMAL(20,6)) * 1000000 AS BIGINT) AS vmic
+      FROM events
+      WHERE ts IS NOT NULL AND user_id % 25 = 0
+    ), w AS (
+      SELECT user_id, event_id,
+             CAST(SUM(vmic) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS s3,
+             CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS c3,
+             CAST(SUM(vmic) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rs
+      FROM e
+    )
     SELECT user_id, event_id,
-           CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
-             / COUNT(*) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg,
-           CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(30,6)) AS run_sum
-    FROM events
-    WHERE ts IS NOT NULL AND user_id % 25 = 0
+           CAST((2 * s3 + c3) // (2 * c3) AS BIGINT) AS mov_avg_micro,
+           rs AS run_sum_micro
+    FROM w
     """,
 )
 def moving_avg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window FRAMES (rowsBetween) — the reference emulated windows
-    procedurally and never had frames at all (SURVEY.md §2.5). Decimal
-    accumulation keeps running sums exact across engines; the moving
-    average is exact-decimal SUM then ONE double division (engines
-    disagree on AVG(decimal) internals, not on IEEE division)."""
+    procedurally and never had frames at all (SURVEY.md §2.5).
+
+    Bit-portability: this query failed the driver's value hash in rounds
+    1 AND 2 while passing the local fetchall-based gate — its old
+    ``run_sum DECIMAL(30,6)`` was the registry's ONLY decimal-typed
+    OUTPUT column, and decimal outputs cross engine boundaries
+    asymmetrically (DuckDB's pandas path widens DECIMAL to float64;
+    Spark keeps Decimal objects). Everything is now exact BIGINT
+    micro-units: value quantized via decimal(20,6) (doubles never sit on
+    a half-decimal boundary, so HALF_UP vs half-even can't diverge),
+    and the moving average is round-half-up integer division
+    ``(2*s + c) div (2*c)`` — values are nonnegative, so Spark's
+    truncating ``div`` equals DuckDB's flooring ``//``.
+    ``tools/check_oracle.py`` now hard-fails any decimal output column."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").where(
         F.col("ts").isNotNull() & (F.col("user_id") % 25 == 0)
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    dec = F.col("value").cast("decimal(20,6)")
-    return ev.select(
-        "user_id",
-        "event_id",
-        (
-            F.sum(dec).over(w.rowsBetween(-2, 0)).cast("double")
-            / F.count(F.lit(1)).over(w.rowsBetween(-2, 0))
-        ).alias("mov_avg"),
-        F.sum(dec).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("run_sum"),
+    vmic = (F.col("value").cast("decimal(20,6)") * 1000000).cast("long")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.sum(vmic).over(w.rowsBetween(-2, 0)).alias("s3"),
+            F.count(F.lit(1)).over(w.rowsBetween(-2, 0)).alias("c3"),
+            F.sum(vmic)
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("run_sum_micro"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.expr("(2 * s3 + c3) div (2 * c3)").alias("mov_avg_micro"),
+            "run_sum_micro",
+        )
     )
 
 

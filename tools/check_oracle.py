@@ -13,6 +13,16 @@ HUGEINT, SUM(DECIMAL(20,6)) → DECIMAL(38,6)) hash-mismatches a Spark
 BIGINT / DECIMAL(30,6) even when every printed value is identical. Any
 widened oracle aggregate must be wrapped in an explicit CAST.
 
+Decimal-typed OUTPUT columns are banned outright (hard FAIL here even
+when values compare equal): rounds 1-2 proved the driver hash-rejects
+them while this gate's fetchall() path passes — DECIMAL crosses the
+engines' result-conversion boundary asymmetrically (DuckDB's pandas
+path widens DECIMAL to float64; Spark keeps decimal.Decimal objects).
+moving_avg_frame's old `run_sum DECIMAL(30,6)` was the registry's only
+decimal output and its only persistent driver-red row. Use decimals for
+exact INTERNAL accumulation, then emit BIGINT quantized units (cents /
+micro-units / basis points) or one final CAST AS DOUBLE.
+
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
@@ -128,6 +138,17 @@ def main() -> int:
             ]
             if bad_types:
                 problems.append("type mismatch " + "; ".join(bad_types))
+            dec_cols = [
+                c for c in s_cols
+                if "decimal" in norm_type(s_types[c]) or "decimal" in norm_type(o_types[c])
+            ]
+            if dec_cols:
+                problems.append(
+                    "driver-unsafe DECIMAL output column(s) "
+                    f"{dec_cols} — emit quantized BIGINT units or CAST AS DOUBLE "
+                    "(decimal outputs hash-mismatch at the driver even when values "
+                    "are equal here; see module docstring)"
+                )
         if not problems:
             s_sorted = sorted(
                 [tuple(canon(r[c]) for c in s_cols) for r in s_rows]
