@@ -212,18 +212,25 @@ def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Queries moved to the END of the registration order. The external driver
-# verified exactly the FIRST 50 registered queries in round 1, so ordering
-# decides which queries get the hard driver verdict. The demoted queries
-# are trivial single-operator variants that (a) were already driver-green
-# in round 1 and (b) duplicate coverage held by queries that stay in the
-# window (e.g. date_window_inclusive ≈ time_window_halfopen,
-# multikey_join ≈ flat_export+code_date_dim_join). The LLM-pipeline,
-# sampling, chunking, multimodal and streaming queries sit ahead of them.
-# tests/test_smoke.py guards the headroom: adding a query without also
-# demoting (or accepting a spill past position 50) fails the suite.
+# verifies exactly the FIRST 50 registered queries, so ordering decides
+# which queries get the hard driver verdict. Demotion policy: every
+# registered query must accumulate at least one driver-green row across
+# rounds, so the tail holds only queries that are ALREADY double-green
+# (driver-verified in 2+ rounds) or whose coverage is redundantly held by
+# an in-window query. tests/test_smoke.py guards the headroom: adding a
+# query without also demoting (or accepting a spill past position 50)
+# fails the suite.
+#
+# Round-3 rotation (VERDICT r2 item 2): session_gaps, ts_parse_roundtrip
+# and ride_durations_guarded had NO driver row in r1 or r2 (demoted /
+# absent both rounds) — promoted into the window. Swapped out for three
+# r1+r2 double-green queries: time_window_halfopen (P2; in-window green
+# r1+r2), customers_with_open_orders (J10 semi-join, twin of the
+# in-window J9 anti-join; green r1+r2), sort_nulls_last_topk (O1; green
+# r1+r2). Net driver-verdict ledger after r3: every registered query has
+# ≥1 driver row across rounds.
 DRIVER_WINDOW = 50
 _DEMOTE_LAST = [
-    "ride_durations_guarded",  # A4+guards variant; A4 core stays in-window via first_last_durations
     "first_last_by_seq",  # A5 by-sequence twin of the same min_by/max_by operator
     "window_id_bounds",  # P7/A3 min/max/count; overlaps hourly_minmax + keyset docs
     "date_window_inclusive",
@@ -233,10 +240,11 @@ _DEMOTE_LAST = [
     "bbox_filter",
     "multikey_join",
     "exact_ts_join",
-    "session_gaps",
     "running_min",
     "topk_recent",
-    "ts_parse_roundtrip",
+    "time_window_halfopen",  # r3 rotation: double-green r1+r2
+    "customers_with_open_orders",  # r3 rotation: double-green r1+r2
+    "sort_nulls_last_topk",  # r3 rotation: double-green r1+r2
 ]
 
 
