@@ -33,21 +33,29 @@ MINHASH_B = (15485863, 32452843, 49979687, 67867967, 86028121, 104395301, 122949
 N_BANDS = 4  # 8 signatures = 4 bands x 2 rows
 
 
-def _shingled(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+def _shingled(
+    docs: DataFrame, id_col: str, text_col: str, k: int, distinct: bool = True
+) -> DataFrame:
     """One row per (doc, DISTINCT shingle-hash). The shingle string is
     hashed to 40 bits BEFORE the distinct so every downstream shuffle
     (dedup, set-size counts, intersection joins) moves 8-byte keys
     instead of full k-gram strings — at 100 TB the difference is the
     whole shuffle budget. All set operations downstream are defined over
     the hash (the oracle hashes identically, so results agree by
-    construction)."""
+    construction).
+
+    ``distinct=False`` returns the raw exploded stream (duplicates
+    preserved) — for consumers whose aggregates are duplicate-
+    insensitive (MIN for minhash) or dedupe inside the aggregate
+    (count_distinct), which removes the full-corpus distinct shuffle
+    entirely."""
     words = F.split(normalize_text(F.col(text_col)), " ")
-    return (
+    out = (
         docs.withColumn("_words", words)
         .select(F.col(id_col), F.explode(shingle_array("_words", k)).alias("shingle"))
         .select(F.col(id_col), hex_to_long(F.substring(F.md5("shingle"), 1, 10)).alias("h"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
@@ -56,18 +64,28 @@ def minhash_signatures(
     text_col: str = "text",
     k: int = 3,
     shingled: DataFrame | None = None,
+    with_set_size: bool = False,
 ) -> DataFrame:
     """Per doc: 8 MinHash values m0..m7 over word-k-gram shingles.
 
     ``shingled`` lets a pipeline that needs the shingle table more than
-    once (signatures + exact Jaccard re-rank) compute it a single time
-    and `.persist()` it — Catalyst does not reuse the subtree across the
-    two aggregation shapes on its own."""
+    once (signatures + exact Jaccard re-rank) compute it a single time —
+    Catalyst does not reuse the subtree across the two aggregation
+    shapes on its own (exchange reuse does fire for the shuffle).
+
+    ``with_set_size`` additionally emits ``n`` = |shingle set|, riding
+    the SAME groupBy shuffle: an LSH pipeline that re-ranks candidates
+    by exact Jaccard needs both signatures and set sizes per doc, and
+    computing them in one aggregate removes an entire extra pass over
+    the shingle table (pass the result as ``sizes=`` to
+    ``jaccard_pairs``)."""
     sh = shingled if shingled is not None else _shingled(docs, id_col, text_col, k)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
+    if with_set_size:
+        aggs.append(F.count(F.lit(1)).alias("n"))
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -97,38 +115,49 @@ def jaccard_pairs(
     k: int = 3,
     candidates: DataFrame | None = None,
     shingled: DataFrame | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard per doc pair (basis points). With
     ``candidates`` (doc_a, doc_b) the computation is restricted to those
     pairs (the LSH path); without, every pair sharing >= 1 shingle is
     scored (only sane at small scale — the blocker is the shared
-    shingle itself). ``shingled``: see minhash_signatures."""
+    shingle itself). ``shingled``: see minhash_signatures.
+
+    ``sizes`` (``(id_col, n)``, n = |shingle set|) skips the set-size
+    aggregation here — pass ``minhash_signatures(..,
+    with_set_size=True)`` output so sizes ride the signature shuffle
+    instead of re-aggregating the full shingle table."""
     sh = shingled if shingled is not None else _shingled(docs, id_col, text_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    if sizes is None:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    else:
+        sizes = sizes.select(id_col, "n")
     if candidates is not None:
         # The scale path: never self-join the whole corpus. Intersections
         # are computed pair-first — candidates ⋈ a-shingles ⋈ b-shingles —
         # so work is O(|candidates| * shingles/doc), independent of corpus
         # size. This is the reason LSH banding exists; filtering an
         # all-pairs join afterwards would throw that away.
-        # The candidate set is consumed three times below (two member
-        # semi-joins + the intersection join) and is small by contract
+        # The candidate set is consumed three times below (member
+        # semi-join + the intersection join) and is small by contract
         # (it IS the point of LSH banding) — persist it so the banding
         # subtree runs once and AQE sees its true (tiny) size, turning
-        # the member semi-joins into broadcasts.
+        # the member semi-join into a broadcast.
         candidates = candidates.persist()
-        # BOTH sides prune to candidate members before touching shingles:
-        # the b-side previously joined the full shingle table, which at
-        # 500k docs meant shuffling 14M rows to score 42k pairs.
-        a_sh = sh.select(F.col(id_col).alias("doc_a"), "h").join(
-            candidates.select("doc_a").distinct(), on="doc_a", how="left_semi"
+        # ONE pruned shingle table for both pair sides (doc_a ∪ doc_b
+        # members), consumed twice below — the two consumers share the
+        # same exchange. Pruning before touching shingles matters: at
+        # 500k docs the unpruned b-side meant shuffling 14M rows to
+        # score 42k pairs.
+        members = (
+            candidates.select(F.col("doc_a").alias(id_col))
+            .union(candidates.select(F.col("doc_b").alias(id_col)))
+            .distinct()
         )
-        b_sh = sh.select(F.col(id_col).alias("doc_b"), "h").join(
-            candidates.select("doc_b").distinct(), on="doc_b", how="left_semi"
-        )
+        m_sh = sh.join(members, on=id_col, how="left_semi")
         inter = (
-            candidates.join(a_sh, on="doc_a")
-            .join(b_sh, on=["doc_b", "h"])
+            candidates.join(m_sh.select(F.col(id_col).alias("doc_a"), "h"), on="doc_a")
+            .join(m_sh.select(F.col(id_col).alias("doc_b"), "h"), on=["doc_b", "h"])
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
@@ -147,6 +176,83 @@ def jaccard_pairs(
     nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
     return (
         inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                10000.0 * F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            )
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Full MinHash → LSH-banding → exact-Jaccard pipeline as ONE
+    plan-tuned operator: ``(doc_a, doc_b, jaccard_bp)`` for every LSH
+    candidate pair (callers filter on the basis-point threshold).
+
+    This is the shape the composed query should run at 100 TB, flattened
+    from the naive composition's 13-exchange plan (~7 static exchanges):
+
+    - The shingle stream is consumed RAW (no full-corpus distinct
+      ANYWHERE): MinHash MIN is duplicate-insensitive, so the only
+      full-corpus shuffle left is the one groupBy(doc) signature
+      aggregate — the old plan shuffled the corpus twice (distinct,
+      then each aggregate). Exact set sizes are only ever needed for
+      docs that appear in a candidate pair, so they are computed from
+      the member-pruned shingle table, never the corpus.
+    - Candidates and the member-pruned shingle table are persisted:
+      each is small by the LSH contract (candidate pairs / member
+      shingles), each is consumed 2+ times, and persisting stops
+      Catalyst from re-deriving the corpus-wide subtree per consumer.
+      Signatures are NOT persisted — their only consumer is the bucket
+      self-join, whose two sides share one exchange at runtime
+      (measured a wash at sf0.1 AND sf1; the barrier buys nothing).
+    - Every pair-level join is an explicit broadcast (members into the
+      semi-join prune, candidates into the intersection, intersections
+      into the size join): candidate volume is bounded by bucket
+      occupancy — the LSH design invariant — so the build sides stay
+      small at any corpus size; nothing pair-level ever shuffles the
+      per-doc tables.
+    """
+    raw = _shingled(docs, id_col, text_col, k, distinct=False)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    sigs = raw.groupBy(id_col).agg(*aggs)
+    cands = lsh_candidate_pairs(sigs, id_col=id_col).persist()
+    members = (
+        cands.select(F.col("doc_a").alias(id_col))
+        .union(cands.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    m_sh = (
+        raw.join(F.broadcast(members), on=id_col, how="left_semi")
+        .select(id_col, "h")
+        .distinct()
+        .persist()
+    )
+    inter = (
+        F.broadcast(cands)
+        .join(m_sh.select(F.col(id_col).alias("doc_a"), "h"), on="doc_a")
+        .join(F.broadcast(m_sh.select(F.col(id_col).alias("doc_b"), "h")), on=["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = m_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        F.broadcast(F.broadcast(inter).join(na, "doc_a"))
         .join(nb, "doc_b")
         .select(
             "doc_a",

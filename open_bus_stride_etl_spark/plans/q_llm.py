@@ -129,16 +129,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The LSH equi-join is the 100 TB path: candidates are linear in
     bucket occupancy, not corpus-quadratic."""
     d = _docs(spark, sf_dir)
-    # Shared (NOT persisted) shingle table: measured 1.7s vs 3.6s at
-    # sf0.1 — Spark already reuses the distinct's exchange across the
-    # signature and Jaccard consumers, so a cache only inserts a
-    # memory-store write barrier. Contrast dedup_ngram_jaccard, whose
-    # self-join plan gets no exchange reuse and persist wins ~20%.
-    sh = dd._shingled(d, "doc_id", "text", 3)
-    sigs = dd.minhash_signatures(d, shingled=sh)
-    cands = dd.lsh_candidate_pairs(sigs)
-    pairs = dd.jaccard_pairs(d, candidates=cands, shingled=sh)
-    return pairs.where(F.col("jaccard_bp") >= 5000)
+    return dd.minhash_lsh_pairs(d).where(F.col("jaccard_bp") >= 5000)
 
 
 # ---------------------------------------------------------------------------
@@ -608,15 +599,8 @@ def corpus_clean_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.doc_fingerprint(t).alias("fp"),
     ).withColumn("min_id", F.min("doc_id").over(Window.partitionBy("fp")))
 
-    # NOTE: no .persist() here (unlike dedup_ngram_jaccard) — measured
-    # 9.5s vs 10.7s at sf1: this plan's two shingle consumers already
-    # share the distinct's exchange, so a cache only adds a write
-    # barrier between the scan and the downstream joins.
-    sh = dd._shingled(d, "doc_id", "text", 3)
-    sigs = dd.minhash_signatures(d, shingled=sh)
-    cands = dd.lsh_candidate_pairs(sigs)
     near_dup_losers = (
-        dd.jaccard_pairs(d, candidates=cands, shingled=sh)
+        dd.minhash_lsh_pairs(d)
         .where(F.col("jaccard_bp") >= 5000)
         .select("doc_b")
         .distinct()
