@@ -248,7 +248,9 @@ def dedup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(log^2 n)-round large-star/small-star operator
     (operators/dedup.py:connected_components), the corpus-scale path."""
     pairs = dd.simhash_hamming_pairs(_docs(spark, sf_dir), threshold=3, n_bands=4)
-    return dd.connected_components(pairs)
+    # simhash pairs are distinct with doc_a < doc_b by construction, so
+    # the CC operator's defensive dedup shuffle is skipped
+    return dd.connected_components(pairs, input_simple=True)
 
 
 # ---------------------------------------------------------------------------

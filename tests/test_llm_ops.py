@@ -358,23 +358,28 @@ def _uf_components(n_nodes, edges):
         [((i * 7919) % 50, (i * 104729) % 50) for i in range(80) if (i * 7919) % 50 != (i * 104729) % 50],
     ],
 )
-def test_connected_components_matches_union_find(spark, edges):
+@pytest.mark.parametrize("local_finish", [0, 50_000])
+def test_connected_components_matches_union_find(spark, edges, local_finish):
+    """local_finish=0 forces the fully-distributed star rounds;
+    50_000 (the default) takes the driver-side union-find tail finish —
+    both paths must produce identical components."""
     expected = _uf_components(200, edges)
     pairs = spark.createDataFrame(
         [Row(doc_a=u, doc_b=v) for u, v in edges], "doc_a long, doc_b long"
     )
     got = {
         r["doc_id"]: r["component_id"]
-        for r in dd.connected_components(pairs).collect()
+        for r in dd.connected_components(pairs, local_finish_edges=local_finish).collect()
     }
     assert got == expected
 
 
-def test_connected_components_empty_and_self_loops(spark):
+@pytest.mark.parametrize("local_finish", [0, 50_000])
+def test_connected_components_empty_and_self_loops(spark, local_finish):
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
-    assert dd.connected_components(empty).count() == 0
+    assert dd.connected_components(empty, local_finish_edges=local_finish).count() == 0
     loops = spark.createDataFrame([Row(doc_a=7, doc_b=7)], "doc_a long, doc_b long")
-    assert dd.connected_components(loops).count() == 0
+    assert dd.connected_components(loops, local_finish_edges=local_finish).count() == 0
 
 
 def test_quantile_threshold_filter_tie_inclusive(spark):
