@@ -68,6 +68,7 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Exact top-k nearest (by cosine) corpus vectors per query vector.
     ``queries`` has the same schema; self-matches are excluded.
@@ -88,12 +89,26 @@ def cosine_topk(
     oracle SQL mirrors); quantized values are <= 1e6 so every product
     (<= 1e12) and 64-dim dot (<= 6.4e13) is an integer below 2^53 —
     float64 matmul is EXACT regardless of accumulation order, and the
-    final divide matches the SQL expression bit-for-bit."""
+    final divide matches the SQL expression bit-for-bit.
+
+    The broadcast precondition is ENFORCED: ``queries`` above
+    ``max_query_rows`` raises immediately (one cheap limit-bounded
+    count) instead of silently collecting an unbounded set and OOMing
+    the driver at scale — point oversized query sets at the ANN
+    operators (ivf_topk / lsh_topk), which never collect them."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
+    probe = queries.select(F.lit(1)).limit(max_query_rows + 1).count()
+    if probe > max_query_rows:
+        raise ValueError(
+            f"cosine_topk query set exceeds max_query_rows={max_query_rows}: "
+            "the exact baseline collects+broadcasts the query set by design. "
+            "Raise max_query_rows only if the driver can hold the set; for "
+            "large query sets use the ANN operators (ivf_topk, lsh_topk)."
+        )
     q_rows = (
         queries.select(F.col(id_col).alias("query_id"), quantized_vec(vec_col).alias("_qq"))
         .collect()

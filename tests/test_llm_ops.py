@@ -75,6 +75,17 @@ def test_cosine_topk_orders_by_similarity(spark):
     assert out[0]["cos"] > 0.99
 
 
+def test_cosine_topk_rejects_oversized_query_set(spark):
+    """The collect+broadcast precondition is enforced: an oversized
+    query set must raise a clear error, never OOM the driver."""
+    emb = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=1), F.rand(seed=2)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="max_query_rows"):
+        sim.cosine_topk(emb, emb, k=2, max_query_rows=5)
+
+
 def test_lang_id_profiles(spark):
     docs = spark.createDataFrame(
         [
