@@ -1,0 +1,72 @@
+"""F8 geodesic-exact option (functions/geo.py:geodesic_meters).
+
+Pins (a) the WGS-84 geodesic against independently-known distances and
+(b) the documented <0.5% haversine-vs-geodesic drift on bus-route-scale
+fixtures — the tolerance SURVEY §2.8 records for the default F8 mapping.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from open_bus_stride_etl_spark.functions.geo import (
+    distance_meters,
+    geodesic_meters,
+    haversine_meters,
+)
+
+# (name, lat1, lon1, lat2, lon2, wgs84_meters) — reference distances from
+# the standard Vincenty/Karney test values (public geodesic literature):
+# one degree of longitude on the equator and one degree of meridian arc.
+KNOWN = [
+    ("equator_1deg_lon", 0.0, 0.0, 0.0, 1.0, 111319.491),
+    ("meridian_1deg_lat", 0.0, 0.0, 1.0, 0.0, 110574.389),
+]
+
+# Bus-route-scale fixtures (Israel intercity + urban hops).
+ROUTES = [
+    ("tlv_jerusalem", 32.0853, 34.7818, 31.7683, 35.2137),
+    ("tlv_haifa", 32.0853, 34.7818, 32.7940, 34.9896),
+    ("urban_hop", 32.0853, 34.7818, 32.0900, 34.7850),
+    ("beersheba_eilat", 31.2530, 34.7915, 29.5577, 34.9519),
+]
+
+
+def _one(spark, fn, lat1, lon1, lat2, lon2):
+    return (
+        spark.range(1)
+        .select(fn(F.lit(lat1), F.lit(lon1), F.lit(lat2), F.lit(lon2)).alias("m"))
+        .collect()[0]["m"]
+    )
+
+
+@pytest.mark.parametrize("name,lat1,lon1,lat2,lon2,expected", KNOWN)
+def test_geodesic_matches_known_wgs84_distances(spark, name, lat1, lon1, lat2, lon2, expected):
+    got = _one(spark, geodesic_meters, lat1, lon1, lat2, lon2)
+    assert got == pytest.approx(expected, abs=0.5)  # within 0.5 m
+
+
+def test_geodesic_vs_haversine_within_documented_tolerance(spark):
+    rows = [Row(name=n, lat1=a, lon1=b, lat2=c, lon2=d) for n, a, b, c, d in ROUTES]
+    df = spark.createDataFrame(rows).select(
+        "name",
+        haversine_meters(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("hav"),
+        geodesic_meters(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("geo"),
+    )
+    for r in df.collect():
+        drift = abs(r["hav"] - r["geo"]) / r["geo"]
+        assert drift < 0.005, f"{r['name']}: drift {drift:.4%} exceeds the documented 0.5%"
+
+
+def test_distance_meters_dispatch(spark):
+    hav = _one(spark, lambda *c: distance_meters(*c), *ROUTES[0][1:])
+    geo = _one(spark, lambda *c: distance_meters(*c, exact=True), *ROUTES[0][1:])
+    hav_direct = _one(spark, haversine_meters, *ROUTES[0][1:])
+    assert hav == hav_direct
+    assert geo != hav and abs(geo - hav) / geo < 0.005
+
+
+def test_geodesic_zero_for_coincident_points(spark):
+    assert _one(spark, geodesic_meters, 32.0, 34.0, 32.0, 34.0) == 0.0
