@@ -58,17 +58,26 @@ def main() -> None:
         .save()
     )
 
-    # Min of two executions per query: local[32] on a shared box sees
+    # Min of N executions per query: local[32] on a shared box sees
     # multi-second load spikes; the minimum is the standard low-noise
-    # estimator of the plan's actual cost.
+    # estimator of the plan's actual cost. Sub-1.5s queries get a third
+    # run — at that duration a single scheduling hiccup is a 20%+
+    # phantom regression (round 2 burned review time on +20% noise for
+    # rollup_revenue / ledger_missing_dates), and the extra sample is
+    # cheap exactly when the query is.
     timings: dict[str, float] = {}
     for name in names:
         best = None
-        for _ in range(2):
+        runs = 2
+        done = 0
+        while done < runs:
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
+            done += 1
+            if done == 2 and best < 1.5:
+                runs = 3
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

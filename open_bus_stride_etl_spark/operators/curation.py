@@ -75,6 +75,47 @@ def hash_bucket_bp(key: Column) -> Column:
     return hex_to_long(F.substring(F.md5(key.cast("string")), 1, 10)) % 10000
 
 
+def source_rates(
+    docs: DataFrame,
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source keep-rate table for uniform source mixing:
+    ``(source, n_docs, rate_bp)`` with rate_bp =
+    floor(min_n * 10000 / n_source) — one tiny aggregation, meant to be
+    broadcast into the membership filter."""
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    min_n = counts.agg(F.min("n_docs").alias("_min_n"))
+    return counts.crossJoin(F.broadcast(min_n)).select(
+        source_col,
+        "n_docs",
+        F.expr("div(_min_n * 10000, n_docs)").cast("long").alias("rate_bp"),
+    )
+
+
+def balanced_docs(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    rates: DataFrame | None = None,
+) -> DataFrame:
+    """The balanced corpus itself: every ``docs`` column, restricted to
+    the rows that survive source balancing (md5-bucket membership under
+    the per-source rate). This is the composable pipeline stage —
+    ``balance_sources`` reports the same selection as per-source stats.
+
+    Membership depends only on the doc id and the broadcast rate table:
+    map-local, reproducible across engines, reruns and repartitionings.
+    Pass a precomputed ``rates`` (from ``source_rates``) to share one
+    rate table across the stats and corpus outputs."""
+    if rates is None:
+        rates = source_rates(docs, source_col)
+    return (
+        docs.join(F.broadcast(rates.select(source_col, "rate_bp")), on=source_col)
+        .where(hash_bucket_bp(F.col(id_col)) < F.col("rate_bp"))
+        .drop("rate_bp")
+    )
+
+
 def balance_sources(
     docs: DataFrame,
     source_col: str = "source",
@@ -84,20 +125,16 @@ def balance_sources(
     source mixing): per-source keep rate (basis points) =
     floor(min_n * 10000 / n_source); a doc survives when its
     deterministic md5 bucket falls under its source's rate. Returns
-    per-source stats: n_docs, rate_bp, n_kept.
+    per-source stats: n_docs, rate_bp, n_kept — for the balanced corpus
+    itself use ``balanced_docs`` (same broadcast rate table, same
+    membership rule).
 
     Exact-by-construction across engines AND across cluster layouts:
     membership depends only on the doc id, never on partitioning or row
     order. The rate table is one tiny aggregation + broadcast; the
     filter is map-local (this is the 100 TB-safe shape — a per-source
     rank/quota would sort giant single-source partitions)."""
-    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
-    min_n = counts.agg(F.min("n_docs").alias("_min_n"))
-    rates = counts.crossJoin(F.broadcast(min_n)).select(
-        source_col,
-        "n_docs",
-        F.expr("div(_min_n * 10000, n_docs)").cast("long").alias("rate_bp"),
-    )
+    rates = source_rates(docs, source_col)
     kept = (
         docs.select(source_col, hash_bucket_bp(F.col(id_col)).alias("_b"))
         .join(F.broadcast(rates), on=source_col)

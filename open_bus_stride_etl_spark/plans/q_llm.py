@@ -696,6 +696,33 @@ def source_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.balance_sources(_docs(spark, sf_dir))
 
 
+@query(
+    "balanced_corpus",
+    """
+    WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    m AS (SELECT MIN(n_docs) AS min_n FROM counts),
+    rates AS (
+      SELECT source, CAST((min_n * 10000) // n_docs AS BIGINT) AS rate_bp
+      FROM counts, m
+    )
+    SELECT d.doc_id, d.source, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 10)) AS BIGINT) % 10000
+          < r.rate_bp
+    """,
+)
+def balanced_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The balanced corpus ITSELF (operators/curation.py:balanced_docs) —
+    source_balance_stats reports the selection; this query returns the
+    surviving rows, the composable stage a real pipeline feeds into the
+    next operator. Same broadcast rate table, same md5 membership."""
+    from ..operators import curation as cu  # noqa: PLC0415
+
+    return cu.balanced_docs(_docs(spark, sf_dir)).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sampling: deterministic hash membership (reproducible at 100 TB, and —
 # unlike RNG sampling — oracle-checkable). operators/sampling.py.
@@ -799,6 +826,15 @@ _FLIP_PROBES = " UNION ALL ".join(
 
 @query(
     "ann_lsh_multiprobe_topk",
+    # NOTE the dots CTE computes each pair's dot by zipping the two
+    # row-fetched arrays (DuckDB zips parallel unnests) instead of
+    # joining the exploded `comp` table with itself on pos: pos has
+    # only 64 values, and at sf1 DuckDB's optimizer reordered that
+    # self-join first — a multi-billion-row intermediate that exhausted
+    # tens of GB of spill disk. The zipped form caps the intermediate
+    # at |pairs| x 64 by construction, so the oracle gate completes at
+    # sf1+. Arithmetic is unchanged: float32 -> DOUBLE before scaling,
+    # integer-quantized products summed exactly.
     "WITH " + _SQL_COMP + f""",
     bk AS (SELECT vec_id, {_SQL_BUCKET} AS bucket FROM embeddings),
     qb0 AS (SELECT vec_id, bucket FROM bk WHERE vec_id % 50 = 0),
@@ -809,11 +845,13 @@ _FLIP_PROBES = " UNION ALL ".join(
       WHERE q.vec_id <> c.vec_id
     ),
     dots AS (
-      SELECT p.query_id, p.cand_id, SUM(a.q * b.q) AS dot
+      SELECT p.query_id, p.cand_id,
+             (SELECT SUM(CAST(ROUND(CAST(qx AS DOUBLE) * 1000000) AS BIGINT)
+                         * CAST(ROUND(CAST(cx AS DOUBLE) * 1000000) AS BIGINT))
+              FROM (SELECT unnest(eq.embedding) AS qx, unnest(ec.embedding) AS cx)) AS dot
       FROM pairs p
-      JOIN comp a ON a.vec_id = p.query_id
-      JOIN comp b ON b.vec_id = p.cand_id AND b.pos = a.pos
-      GROUP BY 1, 2
+      JOIN embeddings eq ON eq.vec_id = p.query_id
+      JOIN embeddings ec ON ec.vec_id = p.cand_id
     ),
     scored AS (
       SELECT query_id, cand_id, dot / (sqrt(qa.n2) * sqrt(qb2.n2)) AS cos

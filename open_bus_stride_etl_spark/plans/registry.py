@@ -245,6 +245,7 @@ _DEMOTE_LAST = [
     "time_window_halfopen",  # r3 rotation: double-green r1+r2
     "customers_with_open_orders",  # r3 rotation: double-green r1+r2
     "sort_nulls_last_topk",  # r3 rotation: double-green r1+r2
+    "top2_per_user",  # r3 rotation: double-green r1+r2; slot freed for balanced_corpus (new)
 ]
 
 

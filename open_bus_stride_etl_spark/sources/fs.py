@@ -21,6 +21,7 @@ surfaces). This module re-expresses that storage edge Spark-first:
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import time
 from collections.abc import Callable
@@ -30,12 +31,18 @@ from pyspark.sql import SparkSession
 
 T = TypeVar("T")
 
+# RFC-3986 scheme followed by '//' (authority URIs like s3a://bucket) or
+# a rooted path (file:/x). A mere colon in the first segment is NOT
+# enough: a local relative path like 'backup:2024/file' must stay on
+# the os-module path, not silently route to the cluster's default FS.
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]+:(//|/)")
+
 
 def is_uri(path: str) -> bool:
-    """True when the path carries a scheme (``s3a://…``, ``file:/…``) and
-    should go through Hadoop FS rather than the local os module."""
-    head = path.split("/", 1)[0]
-    return head.endswith(":") and len(head) > 2  # 'C:' style never occurs on posix
+    """True when the path carries a real scheme prefix (``s3a://…``,
+    ``hdfs://…``, ``file:/…``) and should go through Hadoop FS rather
+    than the local os module."""
+    return _SCHEME_RE.match(path) is not None
 
 
 def join_path(base: str, *parts: str) -> str:

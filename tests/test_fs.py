@@ -24,6 +24,10 @@ def test_is_uri_and_join():
     assert fs.is_uri("hdfs://nn:8020/data")
     assert not fs.is_uri("/tmp/x")
     assert not fs.is_uri("relative/path")
+    # a colon inside the first segment is not a scheme — these are
+    # legal local relative paths and must NOT route to the cluster FS
+    assert not fs.is_uri("backup:2024/file")
+    assert not fs.is_uri("x:y")
     assert fs.join_path("s3a://b/base/", "t.parquet") == "s3a://b/base/t.parquet"
     assert fs.join_path("/tmp/base", "t.parquet") == "/tmp/base/t.parquet"
 

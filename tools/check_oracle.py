@@ -32,11 +32,23 @@ import datetime
 import math
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+
+
+def connect_spillable() -> duckdb.DuckDBPyConnection:
+    """File-backed DuckDB connection so big-SF oracle queries spill to
+    disk instead of dying in RAM (an in-memory connection cannot offload
+    most operators). The DB file lives in a fresh temp dir; it holds only
+    views + spill blocks, and the OS reaps it."""
+    d = tempfile.mkdtemp(prefix="oracle_duck_")
+    con = duckdb.connect(os.path.join(d, "oracle.db"))
+    con.execute(f"SET temp_directory = '{d}'")
+    return con
 
 
 def canon(v):
@@ -89,7 +101,7 @@ def main() -> int:
     from open_bus_stride_etl_spark.session import build_session
 
     spark = build_session("oracle-check")
-    con = duckdb.connect()
+    con = connect_spillable()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings".split()
     ):
