@@ -42,6 +42,34 @@ def test_jaccard_identical_is_10000(spark):
     assert pairs[(1, 3)] == round(10000 * 5 / 7)
 
 
+def test_minhash_lsh_pairs_matches_primitive_composition(spark):
+    """The plan-tuned composite (raw shingles, fused sizes, broadcast
+    pair joins) must produce exactly the pairs + scores of the naive
+    primitive composition it replaced."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog tonight"),
+            Row(doc_id=3, text="an entirely different document about spark pipelines"),
+            Row(doc_id=4, text="an entirely different document about spark pipelines"),
+            Row(doc_id=5, text="the quick brown fox jumps over the lazy dog today"),
+        ]
+    )
+    sh = dd._shingled(docs, "doc_id", "text", 3)
+    sigs = dd.minhash_signatures(docs, shingled=sh)
+    cands = dd.lsh_candidate_pairs(sigs)
+    naive = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_bp"]
+        for r in dd.jaccard_pairs(docs, candidates=cands, shingled=sh).collect()
+    }
+    tuned = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_bp"]
+        for r in dd.minhash_lsh_pairs(docs).collect()
+    }
+    assert tuned == naive
+    assert tuned[(1, 5)] == 10000 and tuned[(3, 4)] == 10000
+
+
 def test_shingle_count_exact(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="w1 w2 w3 w4"), Row(doc_id=2, text="w1 w2")])
     out = df.withColumn("_w", F.split(tx.normalize_text(F.col("text")), " ")).select(
