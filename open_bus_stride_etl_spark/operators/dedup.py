@@ -64,7 +64,6 @@ def minhash_signatures(
     text_col: str = "text",
     k: int = 3,
     shingled: DataFrame | None = None,
-    with_set_size: bool = False,
 ) -> DataFrame:
     """Per doc: 8 MinHash values m0..m7 over word-k-gram shingles.
 
@@ -72,20 +71,13 @@ def minhash_signatures(
     once (signatures + exact Jaccard re-rank) compute it a single time —
     Catalyst does not reuse the subtree across the two aggregation
     shapes on its own (exchange reuse does fire for the shuffle).
-
-    ``with_set_size`` additionally emits ``n`` = |shingle set|, riding
-    the SAME groupBy shuffle: an LSH pipeline that re-ranks candidates
-    by exact Jaccard needs both signatures and set sizes per doc, and
-    computing them in one aggregate removes an entire extra pass over
-    the shingle table (pass the result as ``sizes=`` to
-    ``jaccard_pairs``)."""
+    MIN is duplicate-insensitive, so a ``distinct=False`` shingle
+    stream works here too (what ``minhash_lsh_pairs`` exploits)."""
     sh = shingled if shingled is not None else _shingled(docs, id_col, text_col, k)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
-    if with_set_size:
-        aggs.append(F.count(F.lit(1)).alias("n"))
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -115,7 +107,6 @@ def jaccard_pairs(
     k: int = 3,
     candidates: DataFrame | None = None,
     shingled: DataFrame | None = None,
-    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard per doc pair (basis points). With
     ``candidates`` (doc_a, doc_b) the computation is restricted to those
@@ -123,15 +114,11 @@ def jaccard_pairs(
     scored (only sane at small scale — the blocker is the shared
     shingle itself). ``shingled``: see minhash_signatures.
 
-    ``sizes`` (``(id_col, n)``, n = |shingle set|) skips the set-size
-    aggregation here — pass ``minhash_signatures(..,
-    with_set_size=True)`` output so sizes ride the signature shuffle
-    instead of re-aggregating the full shingle table."""
+    This is the composable primitive; the end-to-end LSH dedup query
+    should use ``minhash_lsh_pairs``, whose fused plan avoids the
+    corpus-wide distinct and set-size passes entirely."""
     sh = shingled if shingled is not None else _shingled(docs, id_col, text_col, k)
-    if sizes is None:
-        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    else:
-        sizes = sizes.select(id_col, "n")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     if candidates is not None:
         # The scale path: never self-join the whole corpus. Intersections
         # are computed pair-first — candidates ⋈ a-shingles ⋈ b-shingles —

@@ -484,6 +484,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_embedding_cosine",
+    # dots via zipped parallel unnests of the two row-fetched arrays —
+    # same join-shape fix as ann_lsh_multiprobe_topk (the exploded-comp
+    # self-join on the 64-value pos key invited a quadratic join
+    # reorder; this form is capped at |pairs| x 64 and cut the sf1
+    # oracle from 108s to seconds).
     "WITH " + _SQL_COMP + f""",
     bk AS (SELECT vec_id, {_SQL_BUCKET} AS bucket FROM embeddings),
     pairs AS (
@@ -491,11 +496,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     ),
     dots AS (
-      SELECT p.doc_a, p.doc_b, SUM(ca.q * cb.q) AS dot
+      SELECT p.doc_a, p.doc_b,
+             (SELECT SUM(CAST(ROUND(CAST(ax AS DOUBLE) * 1000000) AS BIGINT)
+                         * CAST(ROUND(CAST(bx AS DOUBLE) * 1000000) AS BIGINT))
+              FROM (SELECT unnest(ea.embedding) AS ax, unnest(eb.embedding) AS bx)) AS dot
       FROM pairs p
-      JOIN comp ca ON ca.vec_id = p.doc_a
-      JOIN comp cb ON cb.vec_id = p.doc_b AND cb.pos = ca.pos
-      GROUP BY 1, 2
+      JOIN embeddings ea ON ea.vec_id = p.doc_a
+      JOIN embeddings eb ON eb.vec_id = p.doc_b
     )
     SELECT doc_a, doc_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
     FROM dots JOIN n2 na ON na.vec_id = doc_a JOIN n2 nb ON nb.vec_id = doc_b
