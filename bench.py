@@ -65,6 +65,15 @@ def main() -> None:
     # phantom regression (round 2 burned review time on +20% noise for
     # rollup_revenue / ledger_missing_dates), and the extra sample is
     # cheap exactly when the query is.
+    # Operator-internal persists (e.g. the LSH candidate cache) are
+    # released after EVERY timed run: leaving them resident would (a) let
+    # run 2 reuse run 1's cache — min-of-N would then measure warm-cache
+    # cost, not the query's — and (b) accumulate dead cache across the
+    # 65-query sweep, bleeding storage memory into later queries'
+    # measurements (observed: corpus_clean_keep 6.0s in-sweep vs 2.2s
+    # isolated before this hook existed).
+    from open_bus_stride_etl_spark.operators.util import release_cached  # noqa: PLC0415
+
     timings: dict[str, float] = {}
     for name in names:
         best = None
@@ -74,6 +83,7 @@ def main() -> None:
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
+            release_cached()
             best = dt if best is None or dt < best else best
             done += 1
             if done == 2 and best < 1.5:

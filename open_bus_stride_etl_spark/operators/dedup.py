@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hex_to_long
 from .text import normalize_text, shingle_array
+from .util import track_persist
 
 # (a*h + b) mod P permutation constants. P = 2^61 - 1 (Mersenne prime);
 # a are primes < 2^20 so a*h < 2^60 < P never overflows int64.
@@ -130,7 +131,7 @@ def jaccard_pairs(
         # (it IS the point of LSH banding) — persist it so the banding
         # subtree runs once and AQE sees its true (tiny) size, turning
         # the member semi-join into a broadcast.
-        candidates = candidates.persist()
+        candidates = track_persist(candidates)
         # ONE pruned shingle table for both pair sides (doc_a ∪ doc_b
         # members), consumed twice below — the two consumers share the
         # same exchange. Pruning before touching shingles matters: at
@@ -216,17 +217,22 @@ def minhash_lsh_pairs(
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
     sigs = raw.groupBy(id_col).agg(*aggs)
-    cands = lsh_candidate_pairs(sigs, id_col=id_col).persist()
+    cands = track_persist(lsh_candidate_pairs(sigs, id_col=id_col))
     members = (
         cands.select(F.col("doc_a").alias(id_col))
         .union(cands.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    m_sh = (
-        raw.join(F.broadcast(members), on=id_col, how="left_semi")
-        .select(id_col, "h")
-        .distinct()
-        .persist()
+    # Re-shingle only the member DOCS (pre-explosion semi-join) rather
+    # than semi-joining the exploded corpus stream: the explode runs over
+    # |members| docs — bounded by candidate volume — instead of a second
+    # full-corpus pass. At 100 TB the corpus is exploded exactly once
+    # (for the signature aggregate); everything pair-level re-derives
+    # from the pruned doc set. distinct() here is per-member-doc shingle
+    # sets, needed for exact Jaccard set sizes.
+    m_docs = docs.join(F.broadcast(members), on=id_col, how="left_semi")
+    m_sh = track_persist(
+        _shingled(m_docs, id_col, text_col, k, distinct=True).select(id_col, "h")
     )
     inter = (
         F.broadcast(cands)

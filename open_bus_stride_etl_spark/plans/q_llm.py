@@ -17,6 +17,7 @@ from ..operators import dedup as dd
 from ..operators import similarity as sim
 from ..operators import text as tx
 from ..operators.multimodal import fake_decode_stats
+from ..operators.util import track_persist
 from ..sources.lake import load_table
 from .registry import query
 
@@ -148,7 +149,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the co-shingle self-join + the set-size aggregate) and, unlike the
     # LSH variant's plan, gets no exchange reuse across them — persist
     # wins ~20% at sf0.1 AND sf1 (measured both ways at both scales)
-    sh = dd._shingled(d, "doc_id", "text", 3).persist()
+    sh = track_persist(dd._shingled(d, "doc_id", "text", 3))
     return dd.jaccard_pairs(d, shingled=sh).where(F.col("jaccard_bp") >= 5000)
 
 

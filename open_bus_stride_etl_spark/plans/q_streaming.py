@@ -11,6 +11,7 @@ the batch result, so the DuckDB comparison is exact.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -22,9 +23,10 @@ from ..session import configure
 from .registry import query
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     """readStream over the events table with the same nanos->timestamp
-    normalization as sources/lake.py:load_table."""
+    normalization as sources/lake.py:load_table. Returns the stream and
+    the symlink source dir (deleted by _run_complete after the run)."""
     configure(spark)
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
@@ -40,21 +42,35 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # which withWatermark rejects; session tz is UTC so the cast is a
         # pure relabel (same normalization as sources/lake.py:load_table).
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    return stream, src_dir
 
 
-def _run_complete(df: DataFrame, spark: SparkSession) -> DataFrame:
+def _run_complete(df: DataFrame, spark: SparkSession, src_dir: str) -> DataFrame:
+    """Run the bounded stream to completion and return a SELF-CONTAINED
+    result: the memory-sink rows are re-materialized as localCheckpoint
+    blocks (reclaimed by the ContextCleaner when the caller drops the
+    DataFrame), then the sink view, checkpoint dir, and symlink source
+    dir are deleted immediately. Without this every invocation leaked a
+    uniquely-named in-memory sink table (complete-mode rows pinned for
+    the session's lifetime) plus two /tmp directories — a bench sweep
+    runs each streaming query 2-3 times and a long-lived scheduler
+    session would accumulate them without bound."""
     name = f"q_stream_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     q = (
         df.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .option("checkpointLocation", ckpt)
         .start()
     )
     q.awaitTermination(300)
-    return spark.table(name)
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    return out
 
 
 @query(
@@ -72,8 +88,9 @@ def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     result must hash-match the batch GROUP BY oracle."""
     from ..streaming.incremental import stream_hourly_stats  # noqa: PLC0415
 
-    agg = stream_hourly_stats(_events_stream(spark, sf_dir), ts_col="ts")
-    return _run_complete(agg, spark)
+    stream, src_dir = _events_stream(spark, sf_dir)
+    agg = stream_hourly_stats(stream, ts_col="ts")
+    return _run_complete(agg, spark, src_dir)
 
 
 @query(
@@ -106,7 +123,8 @@ def streaming_user_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions from streaming/incremental.py:first_last_aggs."""
     from ..streaming.incremental import first_last_aggs  # noqa: PLC0415
 
-    stream = _events_stream(spark, sf_dir).select(
+    raw_stream, src_dir = _events_stream(spark, sf_dir)
+    stream = raw_stream.select(
         F.col("user_id").alias("siri_ride_id"),
         F.col("event_id").alias("id"),
         F.col("ts").alias("recorded_at_time"),
@@ -116,7 +134,7 @@ def streaming_user_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("siri_ride_id")
         .agg(*first_last_aggs("recorded_at_time", "id"))
     )
-    out = _run_complete(agg, spark)
+    out = _run_complete(agg, spark, src_dir)
     return out.select(
         F.col("siri_ride_id").alias("user_id"),
         F.col("first_vehicle_location_id").alias("first_event_id"),

@@ -31,7 +31,26 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Constructing a query marks a cache-scope boundary: reclaim
+            # the PREVIOUS query's operator-internal persists (see
+            # operators/util.py:release_cached). Sequential hosts — the
+            # external driver, check_oracle — run query N's action before
+            # constructing query N+1, so by the time we release here the
+            # old cache is dead weight; without this a 50-query session
+            # accumulates every dedup query's candidate/shingle caches in
+            # executor storage memory. If a host ever interleaves two
+            # live queries the release is still safe: an unpersisted
+            # subtree recomputes from lineage (perf, never correctness).
+            from ..operators.util import release_cached  # noqa: PLC0415
+
+            release_cached()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

@@ -19,6 +19,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 
 from ..functions.timeutil import parse_window
+from ..operators.util import release_cached
 
 
 @dataclass
@@ -57,7 +58,13 @@ def run_task(spark: SparkSession, name: str, **params) -> dict:
     t0 = time.time()
     try:
         metrics = t.fn(spark, **merged) or {}
+        # Task boundary = cache-scope boundary: reclaim any
+        # operator-internal persists (operators/util.py:release_cached)
+        # so a scheduler running many tasks in one session doesn't
+        # accumulate dead cache in executor storage memory.
+        release_cached()
     except Exception as exc:
+        release_cached()
         # error capture in the run report (the reference's ledger error
         # column, idempotent_process_gtfs_data.py:60-66) — record, then
         # propagate so the scheduler sees the failure.
