@@ -932,3 +932,96 @@ def packed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import chunking as ck
 
     return ck.pack_greedy(_docs(spark, sf_dir), budget_tokens=200, n_shards=8)
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics: repetition quality signals, global DF, eval-set
+# decontamination (operators/corpus_stats.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_repetition",
+    r"""
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                  FROM documents),
+    words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    bg AS (
+      SELECT doc_id, s.bg
+      FROM words, LATERAL (
+        SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg) s
+    ),
+    bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+    per_doc AS (SELECT doc_id, MAX(c) AS top_bigram_n, SUM(c) AS n_bigrams
+                FROM bgc GROUP BY doc_id)
+    SELECT w.doc_id,
+           CASE WHEN len(w.w) > 0
+                THEN CAST(ROUND(10000.0 * (len(w.w) - len(list_distinct(w.w))) / len(w.w)) AS BIGINT)
+                ELSE 0 END AS dup_word_ratio_bp,
+           CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+                THEN CAST(ROUND(10000.0 * p.top_bigram_n / p.n_bigrams) AS BIGINT)
+                ELSE 0 END AS top_bigram_ratio_bp
+    FROM words w LEFT JOIN per_doc p ON p.doc_id = w.doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the
+    duplicate-word fraction and the share of all bigrams taken by the
+    single most frequent bigram — the standard machine-generated-text
+    and boilerplate detectors in a training-data curation stack."""
+    from ..operators import corpus_stats as cs  # noqa: PLC0415
+
+    return cs.bigram_repetition(_docs(spark, sf_dir))
+
+
+@query(
+    "term_df_top20",
+    r"""
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                  FROM documents),
+    words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    terms AS (SELECT doc_id, unnest(list_distinct(w)) AS term FROM words)
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+    FROM terms WHERE term <> ''
+    GROUP BY term
+    ORDER BY df DESC, term ASC
+    LIMIT 20
+    """,
+)
+def term_df_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The head of the corpus's document-frequency table (the IDF
+    dimension that TF-IDF scoring and stopword discovery broadcast-join
+    against): top 20 terms by number of documents containing them.
+    Tie-broken by term so the LIMIT cut is deterministic."""
+    from ..operators import corpus_stats as cs  # noqa: PLC0415
+
+    return (
+        cs.term_document_frequency(_docs(spark, sf_dir))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "decontam_overlap",
+    "WITH " + _SQL_SHINGLES + """,
+    ev AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 97 = 0)
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM hashed t JOIN ev ON t.h = ev.h
+    WHERE t.doc_id % 97 <> 0
+    GROUP BY t.doc_id
+    """,
+)
+def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination scan: training documents sharing >= 1
+    word-3-gram with the held-out set (here: every 97th doc stands in
+    for the benchmark suite), with the count of distinct shared
+    shingles. The flagged ids are what a pipeline anti-joins away
+    before training. Eval shingles broadcast — the corpus-side plan is
+    one explode + broadcast join + per-doc count."""
+    from ..operators import corpus_stats as cs  # noqa: PLC0415
+
+    d = _docs(spark, sf_dir)
+    return cs.contamination_overlap(
+        d.where(F.col("doc_id") % 97 != 0), d.where(F.col("doc_id") % 97 == 0)
+    )

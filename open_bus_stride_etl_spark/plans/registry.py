@@ -265,6 +265,12 @@ _DEMOTE_LAST = [
     "customers_with_open_orders",  # r3 rotation: double-green r1+r2
     "sort_nulls_last_topk",  # r3 rotation: double-green r1+r2
     "top2_per_user",  # r3 rotation: double-green r1+r2; slot freed for balanced_corpus (new)
+    # r3 additions: three double-green (r1+r2) queries demoted to free
+    # window slots for the new corpus-stats queries (text_repetition,
+    # term_df_top20, decontam_overlap), which need their first verdict.
+    "hourly_minmax",  # A9; green r1+r2
+    "distinct_set_per_day",  # A11; green r1+r2
+    "customers_without_orders",  # J9 anti-join; green r1+r2 (its J10 twin is also demoted)
 ]
 
 

@@ -1,0 +1,68 @@
+"""operators/corpus_stats.py: repetition signals, document frequency,
+eval-set decontamination — edge cases the sf-table oracles don't hit
+(empty text, one-word docs, zero overlap)."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from open_bus_stride_etl_spark.operators import corpus_stats as cs
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+def test_bigram_repetition_values(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "a b a b a b"),          # one bigram dominates
+            (2, "the quick brown fox"),  # all distinct
+            (3, "solo"),                 # no bigrams
+            (4, ""),                     # empty text
+        ],
+    )
+    out = {r["doc_id"]: r for r in cs.bigram_repetition(d).collect()}
+    # doc 1: words [a,b,a,b,a,b] -> 6 words, 2 distinct -> dup 6667 bp;
+    # bigrams: "a b" x3, "b a" x2 -> top 3 of 5 = 6000 bp
+    assert out[1]["dup_word_ratio_bp"] == 6667
+    assert out[1]["n_bigrams"] == 5
+    assert out[1]["top_bigram_ratio_bp"] == 6000
+    assert out[2]["dup_word_ratio_bp"] == 0
+    assert out[2]["top_bigram_ratio_bp"] == 3333  # 1 of 3 distinct bigrams
+    assert out[3]["n_bigrams"] == 0
+    assert out[3]["top_bigram_ratio_bp"] == 0
+    assert out[4]["n_bigrams"] == 0
+    assert out[4]["dup_word_ratio_bp"] == 0
+
+
+def test_term_document_frequency(spark):
+    d = _docs(spark, [(1, "apple banana apple"), (2, "banana cherry"), (3, "")])
+    out = {r["term"]: r["df"] for r in cs.term_document_frequency(d).collect()}
+    # per-doc distinct: banana appears in 2 docs, apple/cherry in 1;
+    # the empty doc contributes no '' term
+    assert out == {"banana": 2, "apple": 1, "cherry": 1}
+
+
+def test_contamination_overlap(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over"),  # shares 3-grams with eval
+            (2, "completely unrelated training text here"),
+            (3, "the quick brown dog"),             # shares ONE 3-gram
+        ],
+    )
+    ev = _docs(spark, [(100, "the quick brown fox")])
+    out = {r["doc_id"]: r["n_overlap"] for r in cs.contamination_overlap(train, ev).collect()}
+    # eval 3-grams: "the quick brown", "quick brown fox"
+    assert out[1] == 2
+    assert out[3] == 1
+    assert 2 not in out  # clean doc not flagged
+
+
+def test_contamination_overlap_empty_eval(spark):
+    train = _docs(spark, [(1, "some training document text")])
+    # zero-row eval set: nothing is flagged, plan still executes
+    ev = train.where(F.lit(False))
+    assert cs.contamination_overlap(train, ev).count() == 0
