@@ -1025,3 +1025,55 @@ def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cs.contamination_overlap(
         d.where(F.col("doc_id") % 97 != 0), d.where(F.col("doc_id") % 97 == 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Clustering: distributed Lloyd's k-means (operators/clustering.py) —
+# the IVF centroid trainer, oracle-checked by unrolling the fixed
+# iteration count into chained CTEs over the same integer arithmetic.
+# ---------------------------------------------------------------------------
+
+def _sql_kmeans(k: int, iters: int) -> str:
+    parts = [
+        "WITH " + _SQL_COMP.strip().rstrip(),
+        f""",
+seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+c0 AS (SELECT s.cluster, p.pos, p.q AS cq FROM seeds s JOIN comp p ON p.vec_id = s.vec_id)""",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{t - 1}"
+        parts.append(f""",
+d{t} AS (SELECT p.vec_id, c.cluster, SUM((p.q - c.cq) * (p.q - c.cq)) AS d2
+         FROM comp p JOIN {prev} c ON c.pos = p.pos GROUP BY p.vec_id, c.cluster),
+m{t} AS (SELECT vec_id, MIN(d2) AS md FROM d{t} GROUP BY vec_id),
+a{t} AS (SELECT d.vec_id, MIN(d.cluster) AS cluster
+         FROM d{t} d JOIN m{t} m ON m.vec_id = d.vec_id AND d.d2 = m.md
+         GROUP BY d.vec_id)""")
+        if t < iters:
+            parts.append(f""",
+u{t} AS (SELECT a.cluster, p.pos,
+                (SUM(p.q) - ((SUM(p.q) % COUNT(*)) + COUNT(*)) % COUNT(*)) // COUNT(*) AS cq
+         FROM a{t} a JOIN comp p ON p.vec_id = a.vec_id GROUP BY a.cluster, p.pos),
+c{t} AS (SELECT * FROM u{t}
+         UNION ALL
+         SELECT c.cluster, c.pos, c.cq FROM {prev} c
+         WHERE c.cluster NOT IN (SELECT cluster FROM a{t}))""")
+    parts.append(
+        f"\nSELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a{iters}"
+    )
+    return "".join(parts)
+
+
+@query("kmeans_assign", _sql_kmeans(k=8, iters=3))
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-and-assign k-means over the embedding corpus: 8 clusters,
+    3 Lloyd rounds, lowest-id seeds — the centroid-training stage an
+    IVF ANN index runs offline. Integer-exact throughout (quantized
+    components, int64 distances, floor-mean centroids), so the unrolled
+    DuckDB oracle reproduces every round bit-for-bit."""
+    from ..operators import clustering as cl  # noqa: PLC0415
+
+    return cl.kmeans_assignments(
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=3
+    )

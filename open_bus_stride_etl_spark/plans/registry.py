@@ -271,6 +271,7 @@ _DEMOTE_LAST = [
     "hourly_minmax",  # A9; green r1+r2
     "distinct_set_per_day",  # A11; green r1+r2
     "customers_without_orders",  # J9 anti-join; green r1+r2 (its J10 twin is also demoted)
+    "canonical_export",  # F10 canonicalization; green r1+r2; slot freed for kmeans_assign (new)
 ]
 
 
