@@ -106,6 +106,31 @@ def prefix_fingerprint(text: Column, n_chars: int = 60) -> Column:
     return F.md5(F.substring(normalize_text(text), 1, n_chars))
 
 
+
+# PII patterns kept to the regex subset Java regex and RE2 interpret
+# identically (no backrefs, no lookaround) so the DuckDB oracle counts
+# the same matches.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PHONE_RE = r"\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Match counts per PII class — the audit side of redaction."""
+    return {
+        "n_emails": F.regexp_count(text, F.lit(EMAIL_RE)),
+        "n_phones": F.regexp_count(text, F.lit(PHONE_RE)),
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails then phone-number-shaped spans with fixed tags —
+    the curation stage that runs before a corpus leaves the lake. Order
+    matters: emails first, so their digit-bearing local parts can't be
+    half-eaten by the phone pattern."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
 def shingle_array(words_col: str, k: int = 3) -> Column:
     """Word k-gram shingles of an array<string> column (by name):
     ['a','b','c','d'] -> ['a b c', 'b c d']. Empty when fewer than k

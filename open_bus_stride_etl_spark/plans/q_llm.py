@@ -1077,3 +1077,74 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cl.kmeans_assignments(
         load_table(spark, sf_dir, "embeddings"), k=8, iters=3
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction audit + incremental dedup against a historical index
+# ---------------------------------------------------------------------------
+
+@query(
+    "pii_redaction_stats",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\+?[0-9][0-9 ()-]{6,}[0-9]')) AS BIGINT) AS n_phones,
+           CAST(length(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+                '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+    FROM documents
+    """,
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit + redaction (operators/text.py:redact_pii): per-doc
+    email/phone match counts and the post-redaction length — the
+    pre-release scrub of a corpus pipeline. Patterns stay in the regex
+    subset Java and RE2 agree on, so the oracle counts identically.
+    (The synthetic corpus plants no PII — the planted-PII behavior is
+    pinned by tests/test_corpus_stats.py.)"""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    c = tx.pii_counts(t)
+    return d.select(
+        "doc_id",
+        c["n_emails"].cast("long").alias("n_emails"),
+        c["n_phones"].cast("long").alias("n_phones"),
+        F.length(tx.redact_pii(t)).cast("long").alias("redacted_len"),
+    )
+
+
+@query(
+    "dedup_incremental",
+    r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 60)) AS fingerprint
+      FROM documents
+    ),
+    hist AS (SELECT fingerprint, MIN(doc_id) AS dup_of FROM fp WHERE doc_id % 4 <> 3
+             GROUP BY fingerprint)
+    SELECT f.doc_id, h.dup_of
+    FROM fp f JOIN hist h ON h.fingerprint = f.fingerprint
+    WHERE f.doc_id % 4 = 3
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup: a NEW batch (stand-in: doc_id % 4 = 3)
+    checked against the historical fingerprint index (everything else)
+    — the shape a daily crawl runs, where history is a materialized
+    (fingerprint -> keeper) table and the day's batch equi-joins it
+    instead of re-deduping the whole corpus. Emits (new doc, historical
+    keeper) for every already-seen document."""
+    d = _docs(spark, sf_dir).withColumn(
+        "fingerprint", tx.prefix_fingerprint(F.col("text"), 60)
+    )
+    hist = (
+        d.where(F.col("doc_id") % 4 != 3)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    return (
+        d.where(F.col("doc_id") % 4 == 3)
+        .join(hist, on="fingerprint")
+        .select("doc_id", "dup_of")
+    )

@@ -272,6 +272,12 @@ _DEMOTE_LAST = [
     "distinct_set_per_day",  # A11; green r1+r2
     "customers_without_orders",  # J9 anti-join; green r1+r2 (its J10 twin is also demoted)
     "canonical_export",  # F10 canonicalization; green r1+r2; slot freed for kmeans_assign (new)
+    # New-in-r3 tail entries (r4 promotion candidates): variants of
+    # already-windowed operator families (exact-fp dedup; regex column
+    # ops), registered at the tail so the window keeps first-verdict
+    # slots for kmeans/corpus-stats/the r3 promotions.
+    "pii_redaction_stats",
+    "dedup_incremental",
 ]
 
 

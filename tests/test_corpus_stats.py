@@ -66,3 +66,40 @@ def test_contamination_overlap_empty_eval(spark):
     # zero-row eval set: nothing is flagged, plan still executes
     ev = train.where(F.lit(False))
     assert cs.contamination_overlap(train, ev).count() == 0
+
+
+def test_pii_redaction(spark):
+    from open_bus_stride_etl_spark.operators import text as tx
+
+    d = _docs(
+        spark,
+        [
+            (1, "contact john.doe+spam@example.co.uk or +1 (555) 123-4567 now"),
+            (2, "no pii here at all"),
+            (3, "two mails: a@b.io c@d.org; digits 12345678901"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in d.select(
+            "doc_id",
+            tx.pii_counts(d["text"])["n_emails"].alias("e"),
+            tx.pii_counts(d["text"])["n_phones"].alias("p"),
+            tx.redact_pii(d["text"]).alias("red"),
+        ).collect()
+    }
+    assert out[1]["e"] == 1 and out[1]["p"] == 1
+    assert "<EMAIL>" in out[1]["red"] and "<PHONE>" in out[1]["red"]
+    assert "example" not in out[1]["red"] and "555" not in out[1]["red"]
+    assert out[2]["e"] == 0 and out[2]["p"] == 0 and out[2]["red"] == "no pii here at all"
+    assert out[3]["e"] == 2 and out[3]["p"] == 1
+
+
+def test_dedup_incremental_query(spark, sf_dir):
+    from open_bus_stride_etl_spark.plans.registry import queries
+
+    out = queries()["dedup_incremental"](spark, sf_dir).collect()
+    # every flagged pair: new-batch doc, historical keeper
+    for r in out:
+        assert r["doc_id"] % 4 == 3
+        assert r["dup_of"] % 4 != 3
