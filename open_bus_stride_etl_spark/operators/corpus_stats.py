@@ -89,6 +89,63 @@ def term_document_frequency(
     )
 
 
+def boilerplate_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """Boilerplate detection via repeated word-k-grams (the
+    repeated-span curation stage of a training-data pipeline: headers,
+    footers, license blocks, and templated text appear verbatim across
+    many documents). A shingle is *boilerplate* when it occurs in >=
+    ``min_df`` distinct documents; per document we report how much of it
+    is built from such shingles: ``(doc_id, n_shingles, n_boiler,
+    boiler_ratio_bp)``. Callers threshold the ratio to drop templated
+    documents, or use the hot-shingle table itself to cut spans.
+
+    Scale shape: an inverted-index plan — one distinct (doc, hash) table
+    (hashes are 40-bit ints BEFORE any shuffle, operators/dedup.py
+    ``_shingled``), one count keyed by hash (perfect map-side combine:
+    the reduce side sees |vocab| rows, not token volume), one equi-join
+    back on the hash, one count keyed by doc. In production ``min_df``
+    is large (thousands of documents), so the hot set is a small
+    broadcastable head; at ``min_df=2`` the join stays a shuffle
+    equi-join and AQE decides. No corpus-wide hot key: Zipf skew lands
+    on the hash-keyed count, which combines map-side."""
+    sh = _shingled(docs, id_col, text_col, k, distinct=True)
+    df_tab = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("h", F.lit(1).alias("_hot"))
+    )
+    per_doc = (
+        sh.join(df_tab, on="h", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hot").alias("n_boiler"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
+            F.when(
+                F.coalesce(F.col("n_shingles"), F.lit(0)) > 0,
+                F.round(10000.0 * F.col("n_boiler") / F.col("n_shingles")).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .alias("boiler_ratio_bp"),
+        )
+    )
+
+
 def contamination_overlap(
     docs: DataFrame,
     eval_docs: DataFrame,

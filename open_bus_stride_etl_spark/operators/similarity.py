@@ -197,14 +197,52 @@ def embedding_near_dup_pairs(
     buckets at scale are handled by raising ``bits`` (each extra bit
     halves expected occupancy); exactness is the same integer-in-float64
     contract as cosine_topk."""
-    import numpy as np
-    import pandas as pd
-
     v = emb.select(
         F.col(id_col).alias("_id"),
         sign_lsh_bucket(vec_col, bits).alias("bucket"),
         quantized_vec(vec_col).alias("_v"),
     )
+    return _pairs_within_bucket(v, threshold)
+
+
+def clustered_near_dup_pairs(
+    emb: DataFrame,
+    clusters: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public): score
+    cosine pairs only WITHIN a k-means cluster — the trained-partition
+    alternative to sign-LSH bucketing for near-dup candidate generation.
+    ``clusters`` is an ``(id, cluster)`` assignment (e.g.
+    operators/clustering.py:kmeans_assignments — the same partition an
+    IVF index already maintains, so the dedup pass rides an existing
+    artifact). Output: ``(doc_a < doc_b, cos)`` for pairs with cos >=
+    threshold; feed into connected_components + keep-min-id for pruning.
+
+    Scale shape: identical to the LSH variant — one equi-join to attach
+    the cluster id, then one ``applyInPandas`` blocked matmul per
+    cluster; only >=threshold pairs leave the worker. k bounds occupancy
+    (raise k to shrink blocks, exactly like raising LSH bits); the
+    cluster assignment join is a join on the id key, broadcastable when
+    the assignment table is small relative to executors' memory."""
+    v = emb.join(clusters, on=id_col).select(
+        F.col(id_col).alias("_id"),
+        F.col(cluster_col).alias("bucket"),
+        quantized_vec(vec_col).alias("_v"),
+    )
+    return _pairs_within_bucket(v, threshold)
+
+
+def _pairs_within_bucket(v: DataFrame, threshold: float) -> DataFrame:
+    """Shared kernel for bucketed near-dup scoring: ``v`` is
+    ``(_id, bucket, _v)``; each bucket is scored as one applyInPandas
+    group with a row-blocked matmul (O(block x occupancy) memory), and
+    only pairs with cos >= threshold are emitted."""
+    import numpy as np
+    import pandas as pd
 
     def per_bucket(pdf):
         pdf = pdf.sort_values("_id")

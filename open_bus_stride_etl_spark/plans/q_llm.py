@@ -1027,13 +1027,85 @@ def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "shared_span_pairs",
+    "WITH " + _SQL_SHINGLES + ", " + _SQL_MINHASH + ", " + _SQL_BUCKETS + ","
+    r"""
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    posh AS (
+      SELECT doc_id, u.i AS pos,
+             CAST(('0x' || substr(md5(w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2]), 1, 10)) AS BIGINT) AS h
+      FROM words, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) u
+    ),
+    cells AS (
+      SELECT DISTINCT c.doc_a, c.doc_b, a.pos AS pa, b.pos AS pb
+      FROM cand c
+      JOIN posh a ON a.doc_id = c.doc_a
+      JOIN posh b ON b.doc_id = c.doc_b AND b.h = a.h
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, pa - pb AS diag,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS i
+      FROM cells
+    ),
+    runs AS (SELECT doc_a, doc_b, COUNT(*) AS rl FROM isl GROUP BY doc_a, doc_b, diag, i)
+    SELECT doc_a, doc_b,
+           CAST(MAX(rl) AS BIGINT) AS max_run_shingles,
+           CAST(MAX(rl) + 2 AS BIGINT) AS max_run_words,
+           CAST(SUM(rl) AS BIGINT) AS n_matches
+    FROM runs GROUP BY doc_a, doc_b
+    """,
+)
+def shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest exact shared word-substring per MinHash-LSH candidate
+    pair (operators/dedup.py:shared_span_pairs): the substring-level
+    dedup signal — how LONG the verbatim overlap is, not just how much
+    of the shingle set intersects. Diagonal gaps-and-islands over
+    positional shingle hashes; k=3 word-grams."""
+    return dd.shared_span_pairs(_docs(spark, sf_dir))
+
+
+@query(
+    "boilerplate_ngrams",
+    "WITH " + _SQL_SHINGLES + """,
+    df AS (SELECT h, COUNT(*) AS df FROM hashed GROUP BY h),
+    pd AS (SELECT t.doc_id, COUNT(*) AS n_shingles,
+                  COUNT(CASE WHEN f.df >= 2 THEN 1 END) AS n_boiler
+           FROM hashed t JOIN df f ON f.h = t.h GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(pd.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(pd.n_boiler, 0) AS BIGINT) AS n_boiler,
+           CASE WHEN COALESCE(pd.n_shingles, 0) > 0
+                THEN CAST(ROUND(10000.0 * pd.n_boiler / pd.n_shingles) AS BIGINT)
+                ELSE 0 END AS boiler_ratio_bp
+    FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+    """,
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span boilerplate detection: the share of each document's
+    word-3-gram shingles that also occur in at least one OTHER document
+    (min_df=2 on this small corpus; production uses a large min_df so
+    the hot set is a broadcastable head). Templated docs score near
+    10000 bp; unique prose near 0."""
+    from ..operators import corpus_stats as cs  # noqa: PLC0415
+
+    return cs.boilerplate_stats(_docs(spark, sf_dir), min_df=2)
+
+
 # ---------------------------------------------------------------------------
 # Clustering: distributed Lloyd's k-means (operators/clustering.py) —
 # the IVF centroid trainer, oracle-checked by unrolling the fixed
 # iteration count into chained CTEs over the same integer arithmetic.
 # ---------------------------------------------------------------------------
 
-def _sql_kmeans(k: int, iters: int) -> str:
+def _sql_kmeans_ctes(k: int, iters: int) -> str:
+    """The unrolled-Lloyd CTE chain (comp, n2, seeds, c0, d1..a{iters});
+    the final assignment lives in CTE ``a{iters}`` as (vec_id, cluster).
+    Shared by kmeans_assign (reads it off directly) and semdedup_pairs
+    (joins pairs within the final clusters)."""
     parts = [
         "WITH " + _SQL_COMP.strip().rstrip(),
         f""",
@@ -1059,10 +1131,14 @@ c{t} AS (SELECT * FROM u{t}
          UNION ALL
          SELECT c.cluster, c.pos, c.cq FROM {prev} c
          WHERE c.cluster NOT IN (SELECT cluster FROM a{t}))""")
-    parts.append(
-        f"\nSELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a{iters}"
-    )
     return "".join(parts)
+
+
+def _sql_kmeans(k: int, iters: int) -> str:
+    return (
+        _sql_kmeans_ctes(k, iters)
+        + f"\nSELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a{iters}"
+    )
 
 
 @query("kmeans_assign", _sql_kmeans(k=8, iters=3))
@@ -1077,6 +1153,48 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cl.kmeans_assignments(
         load_table(spark, sf_dir, "embeddings"), k=8, iters=3
     )
+
+
+@query(
+    "semdedup_pairs",
+    # pair dots via zipped parallel unnests of the two row-fetched
+    # arrays (same shape rule as dedup_embedding_cosine — never
+    # self-join the exploded comp table on pos).
+    _sql_kmeans_ctes(k=32, iters=3)
+    + """,
+    pairs AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM a3 a JOIN a3 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT p.doc_a, p.doc_b,
+             (SELECT SUM(CAST(ROUND(CAST(ax AS DOUBLE) * 1000000) AS BIGINT)
+                         * CAST(ROUND(CAST(bx AS DOUBLE) * 1000000) AS BIGINT))
+              FROM (SELECT unnest(ea.embedding) AS ax, unnest(eb.embedding) AS bx)) AS dot
+      FROM pairs p
+      JOIN embeddings ea ON ea.vec_id = p.doc_a
+      JOIN embeddings eb ON eb.vec_id = p.doc_b
+    )
+    SELECT doc_a, doc_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
+    FROM dots JOIN n2 na ON na.vec_id = doc_a JOIN n2 nb ON nb.vec_id = doc_b
+    WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.25
+    """,
+)
+def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: semantic near-dup pairs scored only within k-means
+    clusters (k=32, 3 Lloyd rounds — the same integer-exact trainer as
+    kmeans_assign, so the unrolled oracle reproduces the partition
+    bit-for-bit). k=32 over this corpus mirrors production practice —
+    cluster count grows with the corpus so per-cluster occupancy (and
+    the pair count, quadratic in it) stays bounded; k=8 made the sf1
+    oracle score ~25M pairs. The 0.25 threshold is tuned to this
+    synthetic corpus; the operator shape — trained-partition candidates
+    + blocked-matmul scoring — is the SemDeDup pipeline stage."""
+    from ..operators import clustering as cl  # noqa: PLC0415
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    clusters = cl.kmeans_assignments(emb, k=32, iters=3)
+    return sim.clustered_near_dup_pairs(emb, clusters, threshold=0.25)
 
 
 # ---------------------------------------------------------------------------

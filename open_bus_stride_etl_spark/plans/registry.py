@@ -278,6 +278,9 @@ _DEMOTE_LAST = [
     # slots for kmeans/corpus-stats/the r3 promotions.
     "pii_redaction_stats",
     "dedup_incremental",
+    "boilerplate_ngrams",
+    "semdedup_pairs",
+    "shared_span_pairs",
 ]
 
 

@@ -54,3 +54,49 @@ def test_empty_cluster_keeps_centroid_and_stays_deterministic(spark):
     out = dict(map(tuple, a))
     # coincident points share a cluster (tie-break to the lowest id)
     assert out[0] == out[1]
+
+
+def test_clustered_near_dup_pairs_scores_only_within_cluster(spark):
+    from open_bus_stride_etl_spark.operators.similarity import clustered_near_dup_pairs
+
+    # Two tight groups on opposite axes: near-dups exist inside each
+    # group; cross-group cosine is ~0 so no cross pair can appear even
+    # if clustering ever co-located them.
+    d = _embs(
+        spark,
+        [
+            (1, [1.0, 0.0, 0.01]),
+            (2, [0.99, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.01]),
+            (4, [0.0, 0.98, 0.0]),
+        ],
+    )
+    clusters = kmeans_assignments(d, k=2, iters=3)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["cos"]
+        for r in clustered_near_dup_pairs(d, clusters, threshold=0.9).collect()
+    }
+    assert set(pairs) == {(1, 2), (3, 4)}
+    assert all(c > 0.99 for c in pairs.values())
+
+
+def test_clustered_near_dup_agrees_with_lsh_kernel(spark):
+    """Same kernel, different bucketing: with ONE cluster the clustered
+    variant must emit exactly the all-pairs-over-threshold set."""
+    from pyspark.sql import functions as F
+
+    from open_bus_stride_etl_spark.operators.similarity import (
+        clustered_near_dup_pairs,
+    )
+
+    d = _embs(
+        spark,
+        [(i, [1.0 if j == i % 3 else 0.05 for j in range(4)]) for i in range(9)],
+    )
+    one = d.select("vec_id").withColumn("cluster", F.lit(0))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in clustered_near_dup_pairs(d, one, threshold=0.9).collect()
+    }
+    want = {(a, b) for a in range(9) for b in range(a + 1, 9) if a % 3 == b % 3}
+    assert got == want

@@ -103,3 +103,25 @@ def test_dedup_incremental_query(spark, sf_dir):
     for r in out:
         assert r["doc_id"] % 4 == 3
         assert r["dup_of"] % 4 != 3
+
+
+def test_boilerplate_stats_planted_template(spark):
+    # docs 1+2 share a templated 5-word prefix (3 shared 3-gram
+    # shingles); doc 3 is unique prose; doc 4 too short for any shingle.
+    d = _docs(
+        spark,
+        [
+            (1, "terms of service apply here alpha beta"),
+            (2, "terms of service apply here gamma delta"),
+            (3, "completely unrelated original writing sample"),
+            (4, "too short"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in cs.boilerplate_stats(d, min_df=2).collect()}
+    assert len(out) == 4
+    # doc 1: 5 shingles ("terms of service"... "here alpha beta"), 3 hot
+    assert out[1]["n_shingles"] == 5 and out[1]["n_boiler"] == 3
+    assert out[1]["boiler_ratio_bp"] == 6000
+    assert out[2]["n_boiler"] == 3
+    assert out[3]["n_boiler"] == 0 and out[3]["boiler_ratio_bp"] == 0
+    assert out[4]["n_shingles"] == 0 and out[4]["boiler_ratio_bp"] == 0

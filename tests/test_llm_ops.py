@@ -452,3 +452,45 @@ def test_balance_sources_rates_and_determinism(spark):
     assert out == out2
     # kept count tracks the rate (binomial-ish, wide tolerance)
     assert 60 <= out["big"]["n_kept"] <= 140
+
+
+def test_shared_span_pairs_planted_run(spark):
+    # docs 1+2 share the verbatim 6-word run "one two three four five
+    # six" (4 consecutive 3-gram shingles) at different offsets, plus
+    # nothing else; doc 3 shares nothing.
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta one two three four five six gamma"),
+            Row(doc_id=2, text="one two three four five six delta epsilon zeta"),
+            Row(doc_id=3, text="totally different words in this document here"),
+        ]
+    )
+    cands = spark.createDataFrame([Row(doc_a=1, doc_b=2), Row(doc_a=1, doc_b=3)])
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in dd.shared_span_pairs(docs, candidates=cands).collect()
+    }
+    # pair (1,3): no shared shingle -> absent
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    assert r["max_run_shingles"] == 4
+    assert r["max_run_words"] == 6
+    assert r["n_matches"] == 4
+
+
+def test_shared_span_two_disjoint_runs_and_repeats(spark):
+    # Shared runs: "a b c d" (2 shingles) appears twice in doc 2 -> the
+    # duplicate alignment cells land on DIFFERENT diagonals; and a
+    # separate shared run "x y z" (1 shingle). Longest stays 2.
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d q q q x y z"),
+            Row(doc_id=2, text="a b c d m m a b c d n x y z"),
+        ]
+    )
+    cands = spark.createDataFrame([Row(doc_a=1, doc_b=2)])
+    r = dd.shared_span_pairs(docs, candidates=cands).collect()[0]
+    assert r["max_run_shingles"] == 2
+    assert r["max_run_words"] == 4
+    # alignments: run1 at two diagonals (2 cells each) + "x y z" (1 cell)
+    assert r["n_matches"] == 5
