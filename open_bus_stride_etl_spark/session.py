@@ -24,6 +24,20 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # InferFiltersFromGenerate synthesizes `size(e) > 0 AND isnotnull(e)`
+    # below every explode(e). For this engine's hot pattern —
+    # explode(shingle_array(split(normalize(text)))) — CollapseProject
+    # first inlines the whole normalize+split+transform chain into the
+    # generator input, so the inferred filter carries ~6 copies of it,
+    # runs as an interpreted (non-codegen) Filter, and is even pushed
+    # into the parquet scan as a DataFilter evaluated per row. Measured
+    # at sf0.1 (min-of-3, warmed): text_repetition 10.3s -> 1.8s,
+    # dedup_ngram_jaccard 3.3s -> 2.2s, everything else neutral. The
+    # rule only ever prunes rows whose generator output is empty —
+    # negligible here (documents virtually always have >= 1 shingle) —
+    # so excluding it trades nothing for the 6x expression tax.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }
 
 
