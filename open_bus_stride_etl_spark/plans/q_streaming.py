@@ -143,3 +143,47 @@ def streaming_user_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_ts"),
         F.col("n_points"),
     )
+
+
+@query(
+    "streaming_session_windows",
+    """
+    WITH e AS (SELECT user_id, ts FROM events WHERE ts IS NOT NULL AND user_id % 25 = 0),
+    o AS (SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts FROM e),
+    m AS (SELECT user_id, ts,
+                 CASE WHEN pts IS NULL OR ts - pts > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk FROM o),
+    g AS (SELECT user_id, ts,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS grp FROM m)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM g GROUP BY user_id, grp
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The W2 sessionization (30-minute inactivity gap) as a REAL
+    Structured Streaming job: watermarked session_window aggregation
+    over readStream, complete mode over the bounded source, hash-checked
+    against the same gaps-and-islands CTE oracle as the batch
+    `session_window_events` twin. This is the stateful-merge operator
+    the batch variant only implies — streaming session windows merge
+    adjacent per-batch sessions in the state store, which is what a
+    continuous GPS/event feed needs at scale."""
+    raw_stream, src_dir = _events_stream(spark, sf_dir)
+    ev = raw_stream.where(F.col("ts").isNotNull() & (F.col("user_id") % 25 == 0))
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_complete(agg, spark, src_dir)
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    )

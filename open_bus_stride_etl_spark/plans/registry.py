@@ -281,6 +281,7 @@ _DEMOTE_LAST = [
     "boilerplate_ngrams",
     "semdedup_pairs",
     "shared_span_pairs",
+    "streaming_session_windows",
 ]
 
 
