@@ -272,16 +272,20 @@ _DEMOTE_LAST = [
     "distinct_set_per_day",  # A11; green r1+r2
     "customers_without_orders",  # J9 anti-join; green r1+r2 (its J10 twin is also demoted)
     "canonical_export",  # F10 canonicalization; green r1+r2; slot freed for kmeans_assign (new)
-    # New-in-r3 tail entries (r4 promotion candidates): variants of
-    # already-windowed operator families (exact-fp dedup; regex column
-    # ops), registered at the tail so the window keeps first-verdict
-    # slots for kmeans/corpus-stats/the r3 promotions.
-    "pii_redaction_stats",
-    "dedup_incremental",
-    "boilerplate_ngrams",
-    "semdedup_pairs",
-    "shared_span_pairs",
-    "streaming_session_windows",
+    # Late-r3 rotation: the six new-in-r3 queries (pii_redaction_stats,
+    # dedup_incremental, boilerplate_ngrams, semdedup_pairs,
+    # shared_span_pairs, streaming_session_windows) were promoted into
+    # the window for their FIRST driver verdict; the six slots came from
+    # these r1+r2 double-green queries whose operator coverage is
+    # redundantly held in-window (banded_priority_match covers the band
+    # family; content_hash stays in-window — it was r1-red, only
+    # single-green).
+    "left_band_join",
+    "completeness_ratio",
+    "json_extract_filter",
+    "ledger_missing_dates",
+    "rollup_revenue",
+    "session_window_events",
 ]
 
 
