@@ -153,3 +153,45 @@ def balance_sources(
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )
+
+
+def epoch_upsample(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Fractional-epoch data mixing: materialize each document
+    ``weight`` times, where per-source weights are fractional (the
+    standard corpus-mixing spec — e.g. books 2.3 epochs, web 0.8).
+    ``weights`` is a tiny ``(source, weight_bp)`` table (basis points:
+    10000 = 1.0 epoch). Every document gets ``weight_bp // 10000``
+    guaranteed copies plus one more iff its deterministic md5 bucket
+    falls under the fractional remainder — so exactly the right
+    fraction of each source repeats, reproducibly across engines and
+    repartitionings (same doctrine as deterministic_sample). Output:
+    one row per materialized copy ``(doc_id, source, copy_idx)``.
+
+    Scale shape: the weights table broadcasts (it is |sources| rows);
+    copy materialization is a map-local explode of a bounded sequence —
+    no shuffle at all. Downstream, compose with ``shard_shuffle`` on
+    (doc_id, copy_idx) to interleave the copies through the training
+    order instead of clustering them."""
+    n = F.expr("weight_bp div 10000") + F.when(
+        hash_bucket_bp(F.col(id_col)) < F.col("weight_bp") % 10000, 1
+    ).otherwise(0)
+    return (
+        docs.join(F.broadcast(weights), on=source_col)
+        .withColumn("_n", n)
+        # guard: sequence(1, 0) DESCENDS in Spark — empty array instead
+        .withColumn(
+            "_copies",
+            F.when(F.col("_n") > 0, F.sequence(F.lit(1), F.col("_n"))).otherwise(
+                F.array()
+            ),
+        )
+        .select(F.col(id_col), F.col(source_col), F.explode("_copies").alias("copy_idx"))
+        .select(
+            F.col(id_col), F.col(source_col), F.col("copy_idx").cast("long").alias("copy_idx")
+        )
+    )

@@ -90,3 +90,35 @@ def approx_quantiles(df: DataFrame, col: str, probs: list, rel_err: float = 0.01
     """Greenwald-Khanna approximate quantiles (driver-side list) —
     bounded-memory alternative to sorting the column."""
     return df.stat.approxQuantile(col, list(probs), rel_err)
+
+
+def shard_shuffle(
+    df: DataFrame, id_col: str = "doc_id", n_shards: int = 32, seed: str = ""
+) -> DataFrame:
+    """Deterministic global training order as ``(id, shard, pos)`` —
+    the reproducible corpus shuffle every training run needs. Each row
+    gets an md5 rank key; ``shard`` is the key mod n_shards and ``pos``
+    is the row's rank within its shard. Reading shards in any
+    interleaving yields a hash-random document order that is identical
+    across reruns, engines, and repartitionings; changing ``seed``
+    reshuffles (one seed per epoch).
+
+    Scale shape: this is how a 100 TB corpus is shuffled in practice —
+    never a single global sort/row_number (one giant partition), but a
+    bucket-then-rank: the shard key distributes the sort into n_shards
+    independent window partitions, each bounded at |corpus|/n_shards.
+    At real scale n_shards is thousands (one output file per shard) and
+    the per-shard rank is a partitioned sort with no global barrier."""
+    key = hex_to_long(
+        F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 10)
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    base = df.select(F.col(id_col), key.alias("_k"))
+    shard = F.pmod(F.col("_k"), F.lit(n_shards))
+    w = Window.partitionBy(shard).orderBy("_k", id_col)
+    return base.select(
+        F.col(id_col),
+        shard.cast("long").alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

@@ -731,6 +731,73 @@ def balanced_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "epoch_upsample_mix",
+    """
+    WITH w AS (
+      SELECT source,
+             CAST(5000 + 2 * (CAST(('0x' || substr(md5(source), 1, 10)) AS BIGINT) % 10000) AS BIGINT) AS weight_bp
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    j AS (
+      SELECT d.doc_id, d.source,
+             w.weight_bp // 10000
+             + CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 10)) AS BIGINT) % 10000
+                         < w.weight_bp % 10000 THEN 1 ELSE 0 END AS n
+      FROM documents d JOIN w ON w.source = d.source
+    )
+    SELECT j.doc_id, j.source, CAST(u.i AS BIGINT) AS copy_idx
+    FROM j, LATERAL (SELECT unnest(generate_series(1, j.n)) AS i) u
+    """,
+)
+def epoch_upsample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch corpus mixing (operators/curation.py:
+    epoch_upsample): per-source epoch weights in [0.5, 2.5) — here
+    derived deterministically from the source name's md5 so the demo
+    needs no external spec — materialized as floor(w) guaranteed copies
+    per doc plus one extra for exactly the fractional share, selected
+    by the doc's md5 bucket. One row per materialized training copy."""
+    from ..operators import curation as cu  # noqa: PLC0415
+
+    d = _docs(spark, sf_dir)
+    w = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            (F.lit(5000) + 2 * cu.hash_bucket_bp(F.col("source")))
+            .cast("long")
+            .alias("weight_bp"),
+        )
+    )
+    return cu.epoch_upsample(d, w)
+
+
+@query(
+    "training_shard_order",
+    """
+    WITH k AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('ep0' || CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT) AS _k
+      FROM documents
+    )
+    SELECT doc_id, CAST(_k % 16 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY _k % 16 ORDER BY _k, doc_id) AS BIGINT) AS pos
+    FROM k
+    """,
+)
+def training_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training
+    (operators/sampling.py:shard_shuffle): every doc gets a seeded md5
+    rank; shard = rank mod 16, pos = rank order within the shard.
+    Reading shards interleaved replays an identical hash-random order
+    on any engine/partitioning; the seed ('ep0') reshuffles per epoch.
+    Bucket-then-rank, never one global sort partition."""
+    from ..operators import sampling as sp  # noqa: PLC0415
+
+    return sp.shard_shuffle(_docs(spark, sf_dir), n_shards=16, seed="ep0")
+
+
 # ---------------------------------------------------------------------------
 # Sampling: deterministic hash membership (reproducible at 100 TB, and —
 # unlike RNG sampling — oracle-checkable). operators/sampling.py.

@@ -286,6 +286,11 @@ _DEMOTE_LAST = [
     "ledger_missing_dates",
     "rollup_revenue",
     "session_window_events",
+    # Registered after the late-r3 rotation (r4 first-verdict
+    # candidates): deterministic-hash variants of in-window families
+    # (md5-membership sampling / broadcast-weight curation).
+    "epoch_upsample_mix",
+    "training_shard_order",
 ]
 
 

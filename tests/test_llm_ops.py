@@ -494,3 +494,55 @@ def test_shared_span_two_disjoint_runs_and_repeats(spark):
     assert r["max_run_words"] == 4
     # alignments: run1 at two diagonals (2 cells each) + "x y z" (1 cell)
     assert r["n_matches"] == 5
+
+
+def test_epoch_upsample_fractional_copies(spark):
+    from open_bus_stride_etl_spark.operators.curation import epoch_upsample, hash_bucket_bp
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="a" if i < 200 else "b") for i in range(400)]
+    )
+    w = spark.createDataFrame(
+        [Row(source="a", weight_bp=23000), Row(source="b", weight_bp=4000)]
+    )
+    out = epoch_upsample(docs, w)
+    by_doc = {
+        r["doc_id"]: r["n"]
+        for r in out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # source a: every doc has 2 or 3 copies; fraction with 3 ~= 30%
+    a_counts = [by_doc[i] for i in range(200) if i in by_doc]
+    assert len(a_counts) == 200 and set(a_counts) <= {2, 3}
+    assert 30 <= sum(1 for c in a_counts if c == 3) <= 90
+    # source b (0.4 epochs): docs appear once or not at all
+    b_counts = [by_doc.get(i, 0) for i in range(200, 400)]
+    assert set(b_counts) <= {0, 1}
+    assert 40 <= sum(b_counts) <= 120
+    # copy_idx enumerates 1..n for every doc
+    bad = (
+        out.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("copy_idx").alias("mx"), F.min("copy_idx").alias("mn"))
+        .where((F.col("mx") != F.col("n")) | (F.col("mn") != 1))
+        .count()
+    )
+    assert bad == 0
+    # determinism: exact same rows on re-run
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, epoch_upsample(docs, w).collect()))
+
+
+def test_shard_shuffle_deterministic_and_contiguous(spark):
+    from open_bus_stride_etl_spark.operators.sampling import shard_shuffle
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(500)])
+    a = shard_shuffle(docs, n_shards=8, seed="s1").collect()
+    b = shard_shuffle(docs.repartition(13), n_shards=8, seed="s1").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # partitioning-invariant
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == set(range(8))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense ranks
+    # a different seed produces a different order
+    c = shard_shuffle(docs, n_shards=8, seed="s2").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
