@@ -45,7 +45,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     return stream, src_dir
 
 
-def _run_complete(df: DataFrame, spark: SparkSession, src_dir: str) -> DataFrame:
+def _run_complete(
+    df: DataFrame, spark: SparkSession, src_dir: str, mode: str = "complete"
+) -> DataFrame:
     """Run the bounded stream to completion and return a SELF-CONTAINED
     result: the memory-sink rows are re-materialized as localCheckpoint
     blocks (reclaimed by the ContextCleaner when the caller drops the
@@ -60,7 +62,7 @@ def _run_complete(df: DataFrame, spark: SparkSession, src_dir: str) -> DataFrame
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .option("checkpointLocation", ckpt)
         .start()
@@ -186,4 +188,67 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.start").alias("session_start"),
         F.col("w.end").alias("session_end"),
         "n_events",
+    )
+
+
+@query(
+    "streaming_ride_tracker",
+    """
+    WITH e AS (SELECT user_id, event_id, ts FROM events WHERE ts IS NOT NULL),
+    agg AS (
+      SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts, count(*) AS n_points
+      FROM e GROUP BY user_id
+    ),
+    f AS (
+      SELECT e.user_id, min(e.event_id) AS first_event_id
+      FROM e JOIN agg a ON e.user_id = a.user_id AND e.ts = a.first_ts
+      GROUP BY e.user_id
+    ),
+    l AS (
+      SELECT e.user_id, max(e.event_id) AS last_event_id
+      FROM e JOIN agg a ON e.user_id = a.user_id AND e.ts = a.last_ts
+      GROUP BY e.user_id
+    )
+    SELECT a.user_id, f.first_event_id, l.last_event_id,
+           a.first_ts, a.last_ts, a.n_points,
+           FALSE AS finalized, CAST(NULL AS INTEGER) AS duration_minutes
+    FROM agg a
+    JOIN f ON f.user_id = a.user_id
+    JOIN l ON l.user_id = a.user_id
+    """,
+)
+def streaming_ride_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful streaming operator under the driver:
+    applyInPandasWithState ride tracking (per-key state machine with an
+    event-time settle timeout, streaming/incremental.py:_track_ride)
+    run over the bounded events source. One availableNow batch means
+    every key emits exactly one update-mode snapshot — finalized=false,
+    NULL duration, (ts,id)-deterministic endpoints — which is precisely
+    the batch first/last aggregation, so even this non-SQL operator
+    gets a full value-hash oracle rather than a rows-only check. The
+    settle/finalize transition is pinned by
+    tests/test_streaming.py::test_stream_ride_tracker_state_and_finalize."""
+    from ..streaming.incremental import stream_ride_tracker  # noqa: PLC0415
+
+    raw_stream, src_dir = _events_stream(spark, sf_dir)
+    stream = raw_stream.select(
+        F.col("user_id").alias("siri_ride_id"),
+        F.col("event_id").alias("id"),
+        F.col("ts").alias("recorded_at_time"),
+    )
+    out = _run_complete(
+        stream_ride_tracker(stream, watermark="4 days", settle_hours=6),
+        spark,
+        src_dir,
+        mode="update",
+    )
+    return out.select(
+        F.col("siri_ride_id").alias("user_id"),
+        F.col("first_vehicle_location_id").alias("first_event_id"),
+        F.col("last_vehicle_location_id").alias("last_event_id"),
+        F.col("first_ts"),
+        F.col("last_ts"),
+        F.col("n_points"),
+        F.col("finalized"),
+        F.col("duration_minutes"),
     )

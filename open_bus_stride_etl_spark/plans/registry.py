@@ -291,6 +291,7 @@ _DEMOTE_LAST = [
     # (md5-membership sampling / broadcast-weight curation).
     "epoch_upsample_mix",
     "training_shard_order",
+    "streaming_ride_tracker",
 ]
 
 

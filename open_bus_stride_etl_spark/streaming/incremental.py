@@ -170,13 +170,17 @@ def _track_ride(
     rows = pd.concat(list(pdfs), ignore_index=True)
     rows = rows[rows["recorded_at_time"].notna()]
     if len(rows):
-        lo = rows.loc[rows["recorded_at_time"].idxmin()]
-        hi = rows.loc[rows["recorded_at_time"].idxmax()]
+        # (ts, id)-lexicographic endpoints — the same deterministic
+        # tie-break as the batch min_by/max_by(struct(ts, id)) in
+        # operators/first_last.py, so equal-timestamp points pick the
+        # same endpoint ids regardless of shuffle arrival order.
+        srt = rows.sort_values(["recorded_at_time", "id"])
+        lo, hi = srt.iloc[0], srt.iloc[-1]
         if state.exists:
             first_ts, last_ts, first_id, last_id, n = state.get
-            if lo["recorded_at_time"] < first_ts:
+            if (lo["recorded_at_time"], int(lo["id"])) < (first_ts, first_id):
                 first_ts, first_id = lo["recorded_at_time"], int(lo["id"])
-            if hi["recorded_at_time"] > last_ts:
+            if (hi["recorded_at_time"], int(hi["id"])) > (last_ts, last_id):
                 last_ts, last_id = hi["recorded_at_time"], int(hi["id"])
             n += len(rows)
         else:
