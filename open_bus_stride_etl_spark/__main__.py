@@ -41,6 +41,7 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     # import registers the tasks; deferred so `--help` stays JVM-free
+    from .plans import llm_tasks  # noqa: F401
     from .plans import stride_tasks  # noqa: F401
     from .plans.tasks import REGISTRY, run_task
 
