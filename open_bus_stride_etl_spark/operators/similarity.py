@@ -501,3 +501,35 @@ def ann_lsh_topk(
         )
     )
     return _partitioned_probe(cv, by_bucket, k)
+
+
+def ann_recall_at_k(exact_topk: DataFrame, ann_topk: DataFrame) -> DataFrame:
+    """Recall of an ANN result against the exact top-k baseline — the
+    quality gate every approximate index needs before it replaces the
+    exact path: ``(query_id, n_true, n_hit, recall_bp)`` per query,
+    where recall = |ann ∩ exact| / |exact| (exact may return fewer than
+    k rows on small corpora, so the denominator is its actual size).
+
+    Both inputs are ``(query_id, cand_id, ...)`` top-k tables (e.g.
+    ``cosine_topk`` vs ``ann_lsh_topk``/``ann_ivf_topk`` at the same
+    k). Scale shape: two small top-k tables (|queries| x k rows)
+    equi-joined on (query_id, cand_id) and counted — negligible next
+    to producing either input; evaluation typically runs on a sampled
+    query set, exactly what the exact baseline's broadcast contract
+    requires anyway."""
+    hit = ann_topk.select("query_id", "cand_id").withColumn("_hit", F.lit(1))
+    return (
+        exact_topk.select("query_id", "cand_id")
+        .join(hit, on=["query_id", "cand_id"], how="left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("_hit").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_true",
+            "n_hit",
+            F.round(10000.0 * F.col("n_hit") / F.col("n_true")).cast("long").alias("recall_bp"),
+        )
+    )

@@ -331,6 +331,63 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_lsh_topk(emb, queries, k=3)
 
 
+@query(
+    "ann_recall_eval",
+    "WITH " + _SQL_COMP + f""",
+    edots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id, SUM(a.q * b.q) AS dot
+      FROM comp a JOIN comp b ON a.pos = b.pos
+      WHERE a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2
+    ),
+    esc AS (
+      SELECT query_id, cand_id, dot / (sqrt(qa.n2) * sqrt(qb.n2)) AS cos
+      FROM edots JOIN n2 qa ON qa.vec_id = query_id JOIN n2 qb ON qb.vec_id = cand_id
+    ),
+    e5 AS (SELECT query_id, cand_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+             FROM esc) WHERE rank <= 5),
+    bk AS (SELECT vec_id, {_SQL_BUCKET} AS bucket FROM embeddings),
+    apairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id
+      FROM bk q JOIN bk c ON q.bucket = c.bucket
+      WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+    ),
+    adots AS (
+      SELECT p.query_id, p.cand_id, SUM(a.q * b.q) AS dot
+      FROM apairs p
+      JOIN comp a ON a.vec_id = p.query_id
+      JOIN comp b ON b.vec_id = p.cand_id AND b.pos = a.pos
+      GROUP BY 1, 2
+    ),
+    asc_ AS (
+      SELECT query_id, cand_id, dot / (sqrt(qa.n2) * sqrt(qb.n2)) AS cos
+      FROM adots JOIN n2 qa ON qa.vec_id = query_id JOIN n2 qb ON qb.vec_id = cand_id
+    ),
+    a5 AS (SELECT query_id, cand_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+             FROM asc_) WHERE rank <= 5)
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(COUNT(a.cand_id) AS BIGINT) AS n_hit,
+           CAST(ROUND(10000.0 * COUNT(a.cand_id) / COUNT(*)) AS BIGINT) AS recall_bp
+    FROM e5 e LEFT JOIN a5 a ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+    GROUP BY e.query_id
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the sign-LSH ANN index against the exact cosine
+    baseline, per query (operators/similarity.py:ann_recall_at_k) —
+    the quality gate that decides whether an approximate index may
+    replace the exact path, computed entirely in-engine by composing
+    the two top-k operators and one counting join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    exact = sim.cosine_topk(emb, queries, k=5)
+    ann = sim.ann_lsh_topk(emb, queries, k=5)
+    return sim.ann_recall_at_k(exact, ann)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis: quality metrics + token counts
 # ---------------------------------------------------------------------------

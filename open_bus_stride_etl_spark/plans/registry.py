@@ -292,6 +292,7 @@ _DEMOTE_LAST = [
     "epoch_upsample_mix",
     "training_shard_order",
     "streaming_ride_tracker",
+    "ann_recall_eval",
 ]
 
 

@@ -546,3 +546,17 @@ def test_shard_shuffle_deterministic_and_contiguous(spark):
     # a different seed produces a different order
     c = shard_shuffle(docs, n_shards=8, seed="s2").collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_ann_recall_at_k_counts(spark):
+    exact = spark.createDataFrame(
+        [Row(query_id=1, cand_id=c) for c in (10, 11, 12)]
+        + [Row(query_id=2, cand_id=c) for c in (20, 21)]
+    )
+    ann = spark.createDataFrame(
+        [Row(query_id=1, cand_id=c) for c in (10, 12, 99)]
+        + [Row(query_id=2, cand_id=77)]
+    )
+    out = {r["query_id"]: r for r in sim.ann_recall_at_k(exact, ann).collect()}
+    assert out[1]["n_true"] == 3 and out[1]["n_hit"] == 2 and out[1]["recall_bp"] == 6667
+    assert out[2]["n_true"] == 2 and out[2]["n_hit"] == 0 and out[2]["recall_bp"] == 0
