@@ -177,3 +177,43 @@ def contamination_overlap(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
+
+
+def tokenize_with_vocab(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize token-id sequences against a fixed vocabulary — the
+    step after token COUNTING that an actual training-data writer runs:
+    ``vocab`` is ``(term, token_id)`` (token_id > 0); out-of-vocabulary
+    words map to 0. Output: ``(doc_id, n_tokens, n_oov, ids_csv)`` with
+    the id sequence in document order as a comma-joined string (the
+    engine's portable array encoding, cf. dedup_exact_groups.members).
+
+    Scale shape: a vocabulary is ~100k rows — broadcast it; the corpus
+    side is one posexplode + broadcast-hash left join + one groupBy(doc)
+    that reassembles order via array_sort over (pos, id) structs.
+    Per-doc state is bounded by document length; nothing corpus-wide
+    shuffles except the doc-keyed reassembly."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    exploded = docs.withColumn("_w", words).select(
+        F.col(id_col), F.posexplode("_w").alias("pos", "term")
+    )
+    joined = exploded.join(F.broadcast(vocab), on="term", how="left").select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(0)).cast("long").alias("tid"),
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(F.when(F.col("tid") == 0, 1)).alias("n_oov"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda x: x["tid"].cast("string"),
+            ),
+            ",",
+        ).alias("ids_csv"),
+    )

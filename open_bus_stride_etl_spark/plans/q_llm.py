@@ -332,6 +332,51 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tokenize_vocab_ids",
+    r"""
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+    words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    terms AS (SELECT doc_id, unnest(list_distinct(w)) AS term FROM words),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM terms WHERE term <> '' GROUP BY term),
+    vocab AS (
+      SELECT term, CAST(rnk AS BIGINT) AS token_id FROM (
+        SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS rnk FROM dfreq)
+      WHERE rnk <= 100
+    ),
+    ex AS (
+      SELECT doc_id, u.i AS pos, w[u.i] AS term
+      FROM words, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) u
+    )
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(CASE WHEN v.token_id IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+           string_agg(CAST(COALESCE(v.token_id, 0) AS VARCHAR), ',' ORDER BY e.pos) AS ids_csv
+    FROM ex e LEFT JOIN vocab v ON v.term = e.term
+    GROUP BY e.doc_id
+    """,
+)
+def tokenize_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id materialization (operators/corpus_stats.py:
+    tokenize_with_vocab): the corpus's own top-100 document-frequency
+    terms become the vocabulary (rank = token id, ties broken by term
+    so the cut is deterministic), every document's word sequence maps
+    to ids with OOV = 0, emitted in document order. The vocab head is
+    a distributed top-k (sort+limit -> TakeOrdered) then a 100-row
+    window — never a global rank over the full term table."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from ..operators import corpus_stats as cs  # noqa: PLC0415
+
+    d = _docs(spark, sf_dir)
+    order = [F.col("df").desc(), F.col("term").asc()]
+    head = cs.term_document_frequency(d).orderBy(*order).limit(100)
+    vocab = head.select(
+        "term", F.row_number().over(Window.orderBy(*order)).cast("long").alias("token_id")
+    )
+    return cs.tokenize_with_vocab(d, vocab)
+
+
+@query(
     "ann_recall_eval",
     "WITH " + _SQL_COMP + f""",
     edots AS (

@@ -293,6 +293,7 @@ _DEMOTE_LAST = [
     "training_shard_order",
     "streaming_ride_tracker",
     "ann_recall_eval",
+    "tokenize_vocab_ids",
 ]
 
 

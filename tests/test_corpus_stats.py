@@ -125,3 +125,16 @@ def test_boilerplate_stats_planted_template(spark):
     assert out[2]["n_boiler"] == 3
     assert out[3]["n_boiler"] == 0 and out[3]["boiler_ratio_bp"] == 0
     assert out[4]["n_shingles"] == 0 and out[4]["boiler_ratio_bp"] == 0
+
+
+def test_tokenize_with_vocab_order_and_oov(spark):
+    docs = _docs(spark, [(1, "apple banana apple kiwi"), (2, "")])
+    vocab = spark.createDataFrame(
+        [Row(term="apple", token_id=1), Row(term="banana", token_id=2)]
+    )
+    out = {r["doc_id"]: r for r in cs.tokenize_with_vocab(docs, vocab).collect()}
+    # document order preserved; kiwi is OOV -> 0
+    assert out[1]["ids_csv"] == "1,2,1,0"
+    assert out[1]["n_tokens"] == 4 and out[1]["n_oov"] == 1
+    # empty text normalizes to one empty-string token, which is OOV
+    assert out[2]["n_tokens"] == 1 and out[2]["n_oov"] == 1 and out[2]["ids_csv"] == "0"
