@@ -68,11 +68,17 @@ def quantile_threshold_filter(
     )
 
 
-def hash_bucket_bp(key: Column) -> Column:
+def hash_bucket_bp(key: Column, seed: str = "") -> Column:
     """Deterministic basis-point bucket in [0, 10000) from md5 of the
-    key — the same engine-portable membership primitive as
-    operators/sampling.py, at rate resolution."""
-    return hex_to_long(F.substring(F.md5(key.cast("string")), 1, 10)) % 10000
+    (seed-salted) key — the same engine-portable membership primitive
+    as operators/sampling.py, at rate resolution. Distinct pipeline
+    stages MUST use distinct seeds: two stages sharing the unsalted
+    stream make correlated selections (e.g. the docs a balance stage
+    keeps would be exactly the docs an upsample stage duplicates)."""
+    return (
+        hex_to_long(F.substring(F.md5(F.concat(F.lit(seed), key.cast("string"))), 1, 10))
+        % 10000
+    )
 
 
 def source_rates(
@@ -160,6 +166,7 @@ def epoch_upsample(
     weights: DataFrame,
     id_col: str = "doc_id",
     source_col: str = "source",
+    seed: str = "mix",
 ) -> DataFrame:
     """Fractional-epoch data mixing: materialize each document
     ``weight`` times, where per-source weights are fractional (the
@@ -178,7 +185,7 @@ def epoch_upsample(
     (doc_id, copy_idx) to interleave the copies through the training
     order instead of clustering them."""
     n = F.expr("weight_bp div 10000") + F.when(
-        hash_bucket_bp(F.col(id_col)) < F.col("weight_bp") % 10000, 1
+        hash_bucket_bp(F.col(id_col), seed) < F.col("weight_bp") % 10000, 1
     ).otherwise(0)
     return (
         docs.join(F.broadcast(weights), on=source_col)

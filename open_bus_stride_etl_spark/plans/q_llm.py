@@ -844,7 +844,7 @@ def balanced_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     j AS (
       SELECT d.doc_id, d.source,
              w.weight_bp // 10000
-             + CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 10)) AS BIGINT) % 10000
+             + CASE WHEN CAST(('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 10)) AS BIGINT) % 10000
                          < w.weight_bp % 10000 THEN 1 ELSE 0 END AS n
       FROM documents d JOIN w ON w.source = d.source
     )
