@@ -171,3 +171,52 @@ def test_haversine_properties(spark, lat1, lon1, lat2, lon2):
     assert math.isclose(d12, hv(lat2, lon2, lat1, lon1), rel_tol=1e-9, abs_tol=1e-6)
     # bounded by half the earth's circumference
     assert 0.0 <= d12 <= 20_037_509.0
+
+
+@st.composite
+def doc_pairs(draw):
+    """Two small docs over a tiny vocabulary: repeated words and shared
+    runs arise naturally, hitting multi-diagonal and duplicate-shingle
+    paths."""
+    vocab = ["a", "b", "c", "d", "e"]
+    mk = lambda: " ".join(draw(st.lists(st.sampled_from(vocab), min_size=3, max_size=18)))
+    return mk(), mk()
+
+
+def _ref_shared_spans(ta, tb, k=3):
+    """Brute force: all (pos_a, pos_b) cells with equal k-grams; runs =
+    maximal diagonal chains; returns (max_run, n_cells) or None."""
+    wa, wb = ta.split(), tb.split()
+    sa = [" ".join(wa[i : i + k]) for i in range(len(wa) - k + 1)]
+    sb = [" ".join(wb[i : i + k]) for i in range(len(wb) - k + 1)]
+    cells = {(i, j) for i, s in enumerate(sa) for j, t in enumerate(sb) if s == t}
+    if not cells:
+        return None
+    best = 0
+    for (i, j) in cells:
+        if (i - 1, j - 1) in cells:
+            continue  # not a chain start
+        run = 1
+        while (i + run, j + run) in cells:
+            run += 1
+        best = max(best, run)
+    return best, len(cells)
+
+
+@given(doc_pairs())
+@settings(**SETTINGS)
+def test_shared_span_pairs_matches_bruteforce(spark, pair):
+    from open_bus_stride_etl_spark.operators.dedup import shared_span_pairs
+
+    ta, tb = pair
+    docs = spark.createDataFrame([Row(doc_id=1, text=ta), Row(doc_id=2, text=tb)])
+    cands = spark.createDataFrame([Row(doc_a=1, doc_b=2)])
+    got = shared_span_pairs(docs, candidates=cands).collect()
+    want = _ref_shared_spans(ta, tb)
+    if want is None:
+        assert got == []
+    else:
+        assert len(got) == 1
+        r = got[0]
+        assert (r["max_run_shingles"], r["n_matches"]) == want
+        assert r["max_run_words"] == want[0] + 2
