@@ -252,3 +252,38 @@ def streaming_ride_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("finalized"),
         F.col("duration_minutes"),
     )
+
+
+@query(
+    "streaming_enriched_events",
+    """
+    SELECT e.event_id, e.ts, e.user_id, e.event_type,
+           c.c_name AS customer_name, c.c_mktsegment AS mktsegment
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (§2.9): the streaming fact feed enriched
+    against a batch dimension table — the standard streaming-ETL enrich
+    stage. The static side loads through the lake reader and broadcasts
+    (Spark re-reads it per micro-batch, so dim updates are picked up
+    without restarting the stream); append mode over the bounded source
+    emits each enriched row exactly once, hash-matching the plain batch
+    join oracle."""
+    from ..sources.lake import load_table  # noqa: PLC0415
+
+    raw_stream, src_dir = _events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    joined = raw_stream.join(
+        F.broadcast(dim), raw_stream["user_id"] == dim["c_custkey"]
+    ).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    return _run_complete(joined, spark, src_dir, mode="append")

@@ -294,6 +294,7 @@ _DEMOTE_LAST = [
     "streaming_ride_tracker",
     "ann_recall_eval",
     "tokenize_vocab_ids",
+    "streaming_enriched_events",
 ]
 
 
