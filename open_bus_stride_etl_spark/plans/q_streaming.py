@@ -254,6 +254,34 @@ def streaming_ride_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _run_to_parquet(df: DataFrame, spark: SparkSession, src_dir: str) -> DataFrame:
+    """Append-mode runner for HIGH-VOLUME streams: a parquet file sink
+    instead of the memory sink. The memory sink stores every row on the
+    driver — fine for the small aggregate results the other queries
+    emit, a driver-OOM at 10M-row passthrough volume (observed at sf10).
+    Rows land as parquet files, are read back and re-materialized as
+    localCheckpoint blocks (executor memory, spillable), then all three
+    temp dirs are deleted — the same self-contained-result contract as
+    ``_run_complete``."""
+    name = f"q_stream_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    out_dir = tempfile.mkdtemp(prefix=f"out_{name}_")
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    return out
+
+
 @query(
     "streaming_enriched_events",
     """
@@ -286,4 +314,4 @@ def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("customer_name"),
         F.col("c_mktsegment").alias("mktsegment"),
     )
-    return _run_complete(joined, spark, src_dir, mode="append")
+    return _run_to_parquet(joined, spark, src_dir)
