@@ -315,3 +315,52 @@ def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("mktsegment"),
     )
     return _run_to_parquet(joined, spark, src_dir)
+
+
+@query(
+    "streaming_click_purchase_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events c
+    JOIN events p ON p.user_id = c.user_id
+                 AND c.event_type = 'click' AND p.event_type = 'purchase'
+                 AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.ts IS NOT NULL AND p.ts IS NOT NULL
+    """,
+)
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join with an event-time range condition —
+    funnel attribution (every purchase within 30 minutes of a same-user
+    click), the canonical two-feed streaming join. Both sides carry
+    watermarks so the state store evicts clicks once no purchase can
+    still match them (the time-range bound + watermark IS the state-TTL
+    contract at scale); append mode over the bounded source emits each
+    matched pair exactly once, hash-matching the batch join oracle."""
+    raw_stream, src_dir = _events_stream(spark, sf_dir)
+    base = raw_stream.where(F.col("ts").isNotNull())
+    clicks = (
+        base.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        base.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+    return _run_to_parquet(joined, spark, src_dir)

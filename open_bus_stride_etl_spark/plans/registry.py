@@ -295,6 +295,7 @@ _DEMOTE_LAST = [
     "ann_recall_eval",
     "tokenize_vocab_ids",
     "streaming_enriched_events",
+    "streaming_click_purchase_join",
 ]
 
 
