@@ -3,9 +3,11 @@
 The reference has no streaming runtime (SURVEY.md §2.9) — these queries
 prove the engine's streaming variants compute EXACTLY the batch answer:
 each runs a real Structured Streaming job (readStream -> watermarked
-aggregation -> availableNow -> memory sink) and is hash-compared against
-a plain batch SQL oracle. Complete-mode output over a bounded source is
-the batch result, so the DuckDB comparison is exact.
+transformation -> availableNow -> memory sink for small aggregate
+results, parquet file sink for high-volume append passthroughs) and is
+hash-compared against a plain batch SQL oracle. Complete/append-mode
+output over a bounded source is the batch result, so the DuckDB
+comparison is exact.
 """
 
 from __future__ import annotations
