@@ -286,16 +286,22 @@ _DEMOTE_LAST = [
     "ledger_missing_dates",
     "rollup_revenue",
     "session_window_events",
-    # Registered after the late-r3 rotation (r4 first-verdict
-    # candidates): deterministic-hash variants of in-window families
-    # (md5-membership sampling / broadcast-weight curation).
-    "epoch_upsample_mix",
-    "training_shard_order",
-    "streaming_ride_tracker",
-    "ann_recall_eval",
-    "tokenize_vocab_ids",
-    "streaming_enriched_events",
-    "streaming_click_purchase_join",
+    # Round-4 rotation (VERDICT r3 item 1): the seven late-r3 queries
+    # (epoch_upsample_mix, training_shard_order, streaming_ride_tracker,
+    # ann_recall_eval, tokenize_vocab_ids, streaming_enriched_events,
+    # streaming_click_purchase_join) were promoted into the window for
+    # their FIRST driver verdict. The slots came from these r3-green
+    # queries whose operator families stay redundantly covered in-window
+    # (coverage map in COVERAGE column below; every demoted query keeps
+    # its local check_oracle gate):
+    "dedup_exact_groups",  # d3-green; exact-fingerprint family in-window via dedup_incremental
+    "simhash_signatures",  # d3-green; covered-by dedup_simhash_hamming (same signature stage)
+    "sample_10pct_stats",  # d3-green; md5-membership family in-window via reservoir_per_user
+    "stratified_sample_counts",  # d3-green; same md5-bucket membership core as reservoir_per_user
+    "doc_chunks",  # d3-green; chunking family in-window via packed_batches
+    "lang_id",  # d3-green; pure-column text family in-window via text_quality
+    "doc_fingerprints",  # d3-green; rolling-hash covered by text_quality + content_hash
+    "source_balance_stats",  # d3-green; covered-by balanced_corpus (same broadcast rate table)
 ]
 
 
