@@ -212,6 +212,7 @@ def clustered_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cluster_col: str = "cluster",
+    max_occupancy: int = 65536,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, public): score
     cosine pairs only WITHIN a k-means cluster — the trained-partition
@@ -227,7 +228,32 @@ def clustered_near_dup_pairs(
     cluster; only >=threshold pairs leave the worker. k bounds occupancy
     (raise k to shrink blocks, exactly like raising LSH bits); the
     cluster assignment join is a join on the id key, broadcastable when
-    the assignment table is small relative to executors' memory."""
+    the assignment table is small relative to executors' memory.
+
+    Fail-fast occupancy guard (same doctrine as ``cosine_topk``'s
+    ``max_query_rows``): per-cluster work is O(occupancy^2) flops, so a
+    caller pairing a big corpus with a small k would get a silent
+    quadratic blowup. One cheap count aggregate over the assignment
+    table probes the max cluster occupancy up front and raises with
+    "scale k" guidance when it exceeds ``max_occupancy`` (default 64k:
+    ~4e9 pair-dots in the hottest cluster — bounded minutes of BLAS on
+    one core, the ceiling of a reasonable task). SemDeDup itself scales
+    k with corpus size (Abbas et al. 2023 use k=50k for LAION-440M); the
+    guard turns that operating rule into an enforced precondition."""
+    occ = (
+        clusters.groupBy(cluster_col)
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+    if occ is not None and occ > max_occupancy:
+        raise ValueError(
+            f"clustered_near_dup_pairs: max cluster occupancy {occ} exceeds "
+            f"max_occupancy={max_occupancy}; per-cluster scoring is "
+            "O(occupancy^2). Scale k with corpus size (SemDeDup trains "
+            "k proportional to N) so clusters stay bounded, or raise "
+            "max_occupancy only if the executors can absorb the flops."
+        )
     v = emb.join(clusters, on=id_col).select(
         F.col(id_col).alias("_id"),
         F.col(cluster_col).alias("bucket"),

@@ -100,3 +100,25 @@ def test_clustered_near_dup_agrees_with_lsh_kernel(spark):
     }
     want = {(a, b) for a in range(9) for b in range(a + 1, 9) if a % 3 == b % 3}
     assert got == want
+
+
+def test_clustered_near_dup_occupancy_guard(spark):
+    """The fail-fast precondition (VERDICT r3 item 2): a hot cluster
+    whose occupancy exceeds max_occupancy must raise up front with
+    "scale k" guidance, not silently run O(occupancy^2) scoring."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_bus_stride_etl_spark.operators.similarity import (
+        clustered_near_dup_pairs,
+    )
+
+    d = _embs(spark, [(i, [1.0, 0.0, 0.0]) for i in range(6)])
+    one = d.select("vec_id").withColumn("cluster", F.lit(0))
+    with pytest.raises(ValueError, match="max_occupancy"):
+        clustered_near_dup_pairs(d, one, threshold=0.9, max_occupancy=5)
+    # at the bound it still runs
+    assert (
+        clustered_near_dup_pairs(d, one, threshold=0.9, max_occupancy=6).count()
+        == 15
+    )
