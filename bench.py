@@ -91,6 +91,17 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # Two lines, full map FIRST and a SHORT summary LAST: the driver's
+    # tail-capture window truncated the 80-query single-line JSON
+    # mid-stream in round 3 ("parsed": null — no machine-readable total
+    # shipped). The final line stays well under any plausible tail
+    # window and carries the whole contract except the long per-query
+    # map, which remains intact on the line above for full captures.
+    # "methodology" stamps the cache-accounting policy so round-over-
+    # round comparisons are apples-to-apples (r3 switched to honest
+    # per-run cost by releasing operator-internal persists between runs;
+    # earlier rounds' dedup numbers were warm-cache-flattered ~2x).
+    methodology = "min-of-N cold-cache (release_cached after every timed run; since r3)"
     print(
         json.dumps(
             {
@@ -99,7 +110,24 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+                "methodology": methodology,
+            },
+            separators=(",", ":"),
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "queries": {n: timings[n] for n in HEADLINE if n in timings},
+                "note": "summary line; full per-query map on the previous line",
+                "methodology": methodology,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()
