@@ -113,11 +113,14 @@ def shared_span_pairs(
 
     Scale shape: candidate pairs and the member prune follow
     ``jaccard_pairs``'s candidate-first doctrine — positional shingles
-    are computed ONLY for member docs (pre-explosion semi-join), the
-    pair joins broadcast the candidate side, and nothing pair-level
-    shuffles corpus volume. The window's partition key (doc_a, doc_b,
-    diag) is finer than the aggregation key, so no skew beyond a single
-    document's length."""
+    are computed ONLY for member docs (pre-explosion semi-join), and
+    nothing pair-level shuffles corpus volume. Only the CANDIDATE-PAIR
+    table and the member-id list carry broadcast hints (both are
+    pair-count-sized, 8-byte ids); the member positional-shingle stream
+    is token volume, so its doc_b-side join is left to AQE — broadcast
+    when it measures small, shuffled on (doc_b, h) otherwise (measured
+    identical at bench scale; a hint there would force a driver collect
+    that can exceed the broadcast limit on a large candidate set)."""
     if candidates is None:
         raw = _shingled(docs, id_col, text_col, k, distinct=False)
         aggs = [
@@ -140,9 +143,7 @@ def shared_span_pairs(
             on="doc_a",
         )
         .join(
-            F.broadcast(
-                pos_sh.select(F.col(id_col).alias("doc_b"), F.col("pos").alias("pb"), "h")
-            ),
+            pos_sh.select(F.col(id_col).alias("doc_b"), F.col("pos").alias("pb"), "h"),
             on=["doc_b", "h"],
         )
         .select("doc_a", "doc_b", "pa", "pb")

@@ -47,6 +47,50 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     return stream, src_dir
 
 
+# Stateful-shuffle width for the BOUNDED harness runs. The session
+# default (32) is sized for batch scans at bench scale, but a streaming
+# query pays per-partition fixed costs the batch path doesn't: every
+# micro-batch initializes/commits one state store per shuffle partition,
+# and availableNow adds a closing no-data batch that touches all of them
+# again. On the toy bounded sources those fixed costs dominated
+# (streaming_click_purchase_join spent 6.3 s at sf0.1, ~20% of the whole
+# driver sweep, mostly in 32-way state-store init x several batches).
+# Eight partitions keep real parallelism for the sf0.1 row volumes while
+# cutting the state-store tax 4x. Production streams size this to the
+# cluster (state-store count is fixed at first checkpoint), so the trim
+# is scoped to each harness run and restored in `finally`.
+_STREAM_SHUFFLE_PARTITIONS = "8"
+
+
+class _stream_shuffle_scope:
+    """Context manager: temporarily narrow spark.sql.shuffle.partitions
+    for a bounded streaming run, restoring the caller's value on exit."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+        return False
+
+
+def _await_or_raise(q, seconds: int = 300) -> None:
+    """awaitTermination returns False on timeout with the query STILL
+    RUNNING; ignoring that (as this harness originally did) would read a
+    partial sink, delete the checkpoint out from under the live query,
+    and return silently wrong rows. Stop the straggler and raise."""
+    if not q.awaitTermination(seconds):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} did not finish within "
+            f"{seconds}s; refusing to read a partial sink"
+        )
+
+
 def _run_complete(
     df: DataFrame, spark: SparkSession, src_dir: str, mode: str = "complete"
 ) -> DataFrame:
@@ -61,19 +105,22 @@ def _run_complete(
     session would accumulate them without bound."""
     name = f"q_stream_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.awaitTermination(300)
-    out = spark.table(name).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
-    shutil.rmtree(ckpt, ignore_errors=True)
-    shutil.rmtree(src_dir, ignore_errors=True)
+    try:
+        with _stream_shuffle_scope(spark):
+            q = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            _await_or_raise(q)
+        out = spark.table(name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(src_dir, ignore_errors=True)
     return out
 
 
@@ -229,8 +276,27 @@ def streaming_ride_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch first/last aggregation, so even this non-SQL operator
     gets a full value-hash oracle rather than a rows-only check. The
     settle/finalize transition is pinned by
-    tests/test_streaming.py::test_stream_ride_tracker_state_and_finalize."""
+    tests/test_streaming.py::test_stream_ride_tracker_state_and_finalize.
+
+    The one-snapshot equivalence requires that NO ride settles during
+    the run: availableNow's closing no-data batch advances the
+    event-time watermark to max_ts - watermark_delay, and any ride with
+    last_ts + settle below that fires its timeout and emits a SECOND
+    finalized=true row, breaking the hash. Rather than silently relying
+    on the generator's current ~2-day span, the watermark delay is
+    DERIVED from the data (span + 1 day margin, floor 4 days — one
+    cheap min/max over the batch table), so the invariant holds on any
+    future dataset by construction."""
+    from ..sources.lake import load_table  # noqa: PLC0415
     from ..streaming.incremental import stream_ride_tracker  # noqa: PLC0415
+
+    span = (
+        load_table(spark, sf_dir, "events")
+        .agg((F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("s"))
+        .collect()[0]["s"]
+        or 0
+    )
+    wm_days = max(4, int(span // 86400) + 2)
 
     raw_stream, src_dir = _events_stream(spark, sf_dir)
     stream = raw_stream.select(
@@ -239,7 +305,7 @@ def streaming_ride_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("recorded_at_time"),
     )
     out = _run_complete(
-        stream_ride_tracker(stream, watermark="4 days", settle_hours=6),
+        stream_ride_tracker(stream, watermark=f"{wm_days} days", settle_hours=6),
         spark,
         src_dir,
         mode="update",
@@ -268,19 +334,26 @@ def _run_to_parquet(df: DataFrame, spark: SparkSession, src_dir: str) -> DataFra
     name = f"q_stream_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     out_dir = tempfile.mkdtemp(prefix=f"out_{name}_")
-    q = (
-        df.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    out = spark.read.parquet(out_dir).localCheckpoint(eager=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    shutil.rmtree(src_dir, ignore_errors=True)
+    try:
+        with _stream_shuffle_scope(spark):
+            q = (
+                df.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_or_raise(q)
+        # Read back with the KNOWN schema: a zero-row run writes only
+        # _spark_metadata, and schema inference would throw instead of
+        # returning the correct empty DataFrame (plausible for the
+        # click->purchase join on data with no in-window pairs).
+        out = spark.read.schema(df.schema).parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(src_dir, ignore_errors=True)
     return out
 
 
