@@ -33,6 +33,21 @@ def israel_iso_string(ts: Column) -> Column:
     )
 
 
+def israel_hour_to_utc_hour(hour: int, on_date: datetime.date | None = None) -> int:
+    """Israel-local wall-clock hour -> UTC hour (common.py:69-71).
+    DST-aware via the tz database; the reference anchors the conversion
+    to *today's* date (``datetime.now().replace(hour=...)``), so the
+    same config hour maps to different UTC hours across the DST switch —
+    ``on_date`` makes that anchor injectable for tests."""
+    from zoneinfo import ZoneInfo  # noqa: PLC0415
+
+    on_date = on_date or datetime.date.today()
+    local = datetime.datetime.combine(on_date, datetime.time(int(hour))).replace(
+        tzinfo=ZoneInfo(ISRAEL_TZ)
+    )
+    return local.astimezone(datetime.timezone.utc).hour
+
+
 def coerce_none_str(value: str | None) -> str | None:
     """Airflow 'None'-literal quirk (common.py:24-34)."""
     if value is None or value == "" or value == "None":

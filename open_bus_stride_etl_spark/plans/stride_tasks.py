@@ -362,21 +362,67 @@ def siri_packages_backfill(
 
 @task("update-areas-fake-gtfs", cadence="daily")
 def update_areas_fake_gtfs(
-    spark: SparkSession, base_dir: str, areas_file: str | None = None, out_dir: str | None = None
+    spark: SparkSession,
+    base_dir: str,
+    areas_file: str | None = None,
+    out_dir: str | None = None,
+    days: int = 32,
+    only_area: str | None = None,
+    only_hours: str | None = None,
+    limit_fake_gtfs_processed: int | None = None,
+    today: datetime.date | None = None,
 ):
-    """urbanaccess/update_areas_fake_gtfs.py:19-72 — per configured area
-    (bbox), extract the stops inside the box and publish a per-area
-    "fake GTFS" package, registered as an artifact. The bbox predicate is
-    a pure column filter (SURVEY.md §2.2 P9); the YAML area config
-    (areas.yaml:1-17) is the S13 config source."""
+    """urbanaccess/update_areas_fake_gtfs.py:28-72 — per configured area
+    (bbox), per configured Israel-local hour window, per date of a
+    backward sweep, ensure a "fake GTFS" artifact exists, keyed
+    ``{area}-{date}-{start_hour_utc:02}-{end_hour_utc:02}`` with
+    bbox-change invalidation (an existing artifact whose metadata bbox
+    differs from the config is treated as absent and recreated,
+    reference :37-39). The bbox predicate is a pure column filter
+    (SURVEY.md §2.2 P9); the YAML area config (areas.yaml:1-17) is the
+    S13 config source; ``only_area``/``only_hours``/
+    ``limit_fake_gtfs_processed`` mirror the reference CLI params
+    (:62-72). Actual GTFS synthesis is external to the reference too
+    (stride-client's create_fake_gtfs); the data-plane stand-in is the
+    per-date bbox stop extract.
+
+    Scale/shape notes vs the reference's N+1 loop: the existing-artifact
+    probe reads the registry ONCE and resolves every key driver-side
+    (the registry is control-plane small), instead of one lookup query
+    per (area, window, date); and all missing dates of an area are
+    extracted in ONE partitioned Spark job, then packaged per artifact
+    from the partition files. Steady-state runs skip everything without
+    touching the data plane.
+
+    Config shapes: the reference's areas.yaml (``bbox: "min_lon,
+    min_lat, max_lon, max_lat"`` string + ``hours: [[8, 12], ...]``
+    Israel-local inclusive windows) runs the full sweep; the simple
+    ``{min_lon: ..}`` dict shape (no hours) keeps the legacy single
+    whole-table package per area."""
+    import glob  # noqa: PLC0415
+    import json  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+    import zipfile  # noqa: PLC0415
+
+    from ..functions.timeutil import israel_hour_to_utc_hour  # noqa: PLC0415
+    from ..sources.artifacts import read_registry  # noqa: PLC0415
+
     areas = _load_areas(areas_file)
     out_dir = out_dir or os.path.join(base_dir, "fake_gtfs")
     gtfs_stops = lake.read_table(spark, base_dir, "gtfs_stop")
-    metrics = {}
-    for name, bbox in areas.items():
+    metrics: dict = {}
+    only_hw = (
+        tuple(int(x.strip()) for x in only_hours.split(",")) if only_hours else None
+    )
+
+    # Legacy simple-shape areas (flat bbox dict, no hour windows).
+    for name, cfg in areas.items():
+        if "bbox" in cfg or (only_area and name != only_area):
+            continue
         in_box = gtfs_stops.where(
-            F.col("lon").between(bbox["min_lon"], bbox["max_lon"])
-            & F.col("lat").between(bbox["min_lat"], bbox["max_lat"])
+            F.col("lon").between(cfg["min_lon"], cfg["max_lon"])
+            & F.col("lat").between(cfg["min_lat"], cfg["max_lat"])
         )
         res = publish_if_changed(in_box, os.path.join(out_dir, name), f"{name}-fake-gtfs")
         if res["status"] != "skipped":
@@ -385,10 +431,97 @@ def update_areas_fake_gtfs(
                 base_dir,
                 f"fake-gtfs-{name}",
                 os.path.join(out_dir, name, f"{name}-fake-gtfs.zip"),
-                metadata={"area": name, **bbox, "rows": res["row_count"]},
+                metadata={"area": name, **cfg, "rows": res["row_count"]},
             )
         metrics[name] = {"status": res["status"], "rows": res["row_count"]}
-    return {"areas": metrics}
+
+    sweep_areas = {
+        name: cfg
+        for name, cfg in areas.items()
+        if "bbox" in cfg and not (only_area and name != only_area)
+    }
+    if not sweep_areas:
+        return {"areas": metrics}
+
+    today = today or datetime.date.today()
+    # One registry read; newest metadata per prefix resolved driver-side.
+    reg = {
+        r["file_prefix"]: r["metadata_json"]
+        for r in read_registry(spark, base_dir)
+        .where(F.col("status") == "uploaded")
+        .orderBy("created_at")  # later rows overwrite: newest wins
+        .select("file_prefix", "metadata_json")
+        .collect()
+    }
+    stats = {"fake_gtfs_processed": 0, "skipped": 0, "invalidated": 0}
+    todo: dict[str, list] = {}  # area -> [(date, sh_utc, eh_utc, prefix)]
+    for area_id, cfg in sweep_areas.items():
+        bbox = [float(x.strip()) for x in cfg["bbox"].split(",")]
+        for sh, eh in cfg.get("hours", [[0, 23]]):
+            if only_hw and (sh, eh) != only_hw:
+                continue
+            sh_utc = israel_hour_to_utc_hour(sh, today)
+            eh_utc = israel_hour_to_utc_hour(eh, today)
+            for i in range(1, int(days) + 1):
+                d = today - datetime.timedelta(days=i)
+                prefix = (
+                    f"urbanaccess/areas_fake_gtfs/"
+                    f"{area_id}-{d.isoformat()}-{sh_utc:02d}-{eh_utc:02d}"
+                )
+                meta = reg.get(prefix)
+                if meta is not None:
+                    if json.loads(meta).get("bbox") == bbox:
+                        stats["skipped"] += 1
+                        continue
+                    stats["invalidated"] += 1  # bbox changed: recreate
+                todo.setdefault(area_id, []).append((d, sh_utc, eh_utc, prefix))
+
+    budget = int(limit_fake_gtfs_processed) if limit_fake_gtfs_processed else None
+    for area_id, items in todo.items():
+        if budget is not None and stats["fake_gtfs_processed"] >= budget:
+            break
+        if budget is not None:
+            items = items[: budget - stats["fake_gtfs_processed"]]
+        bbox = [float(x.strip()) for x in sweep_areas[area_id]["bbox"].split(",")]
+        dates = sorted({d for d, *_ in items})
+        min_lon, min_lat, max_lon, max_lat = bbox
+        extract = gtfs_stops.where(
+            F.col("lon").between(min_lon, max_lon)
+            & F.col("lat").between(min_lat, max_lat)
+            & F.col("date").isin([str(d) for d in dates])
+        )
+        tmp = tempfile.mkdtemp(prefix=f"fake_gtfs_{area_id}_")
+        try:
+            (
+                extract.withColumn("_d", F.col("date").cast("string"))
+                .repartition("_d")
+                .write.mode("overwrite")
+                .option("header", True)
+                .partitionBy("_d")
+                .csv(tmp)
+            )
+            for d, sh_utc, eh_utc, prefix in items:
+                parts = sorted(glob.glob(os.path.join(tmp, f"_d={d}", "part-*.csv")))
+                zpath = os.path.join(tmp, f"{os.path.basename(prefix)}.zip")
+                with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+                    for j, p in enumerate(parts):
+                        zf.write(p, f"stops-{j}.csv")
+                register_artifact(
+                    spark,
+                    base_dir,
+                    prefix,
+                    zpath,
+                    metadata={
+                        "area_id": area_id,
+                        "start_hour_utc": sh_utc,
+                        "end_hour_utc": eh_utc,
+                        "bbox": bbox,
+                    },
+                )
+                stats["fake_gtfs_processed"] += 1
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return {"areas": metrics, **stats}
 
 
 def _load_areas(areas_file: str | None) -> dict:

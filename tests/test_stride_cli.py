@@ -175,3 +175,60 @@ def test_cli_run(spark, lake_dir):
         ["run", "stats-collect", "--base-dir", lake_dir]
     )
     assert rc == 0
+
+
+def test_update_areas_fake_gtfs_sweep(spark, lake_dir, tmp_path):
+    """Reference-shaped config drives the per-(area, hour-window, date)
+    artifact sweep (urbanaccess/update_areas_fake_gtfs.py:28-60): key
+    layout, skip-when-current, bbox-change invalidation, per-area hour
+    windows, and the creation budget."""
+    import datetime
+    import json
+
+    from open_bus_stride_etl_spark.sources.artifacts import latest_artifact
+
+    today = datetime.date(2024, 5, 11)  # fixture stop dates: 05-08..05-10
+    areas = tmp_path / "areas_sweep.json"
+    cfg = {
+        "tlv": {"bbox": "34.70,32.00,34.80,32.10", "hours": [[8, 12], [15, 19]]}
+    }
+    areas.write_text(json.dumps(cfg))
+    kw = dict(base_dir=lake_dir, areas_file=str(areas), days=3, today=today)
+
+    m = run_task(spark, "update-areas-fake-gtfs", **kw)
+    # 2 hour windows x 3 dates, all missing
+    assert m["fake_gtfs_processed"] == 6 and m["skipped"] == 0
+
+    # key layout: Israel hours 8/12 (IDT in May) -> UTC 05/09
+    a = latest_artifact(
+        spark, lake_dir, "urbanaccess/areas_fake_gtfs/tlv-2024-05-10-05-09"
+    )
+    assert a is not None
+    meta = json.loads(a["metadata_json"])
+    assert meta["area_id"] == "tlv"
+    assert meta["start_hour_utc"] == 5 and meta["end_hour_utc"] == 9
+    assert meta["bbox"] == [34.70, 32.00, 34.80, 32.10]
+
+    # steady state: everything current -> all skipped, nothing created
+    m2 = run_task(spark, "update-areas-fake-gtfs", **kw)
+    assert m2["fake_gtfs_processed"] == 0 and m2["skipped"] == 6
+
+    # bbox change invalidates every key and recreates
+    cfg["tlv"]["bbox"] = "34.70,32.00,34.81,32.10"
+    areas.write_text(json.dumps(cfg))
+    m3 = run_task(spark, "update-areas-fake-gtfs", **kw)
+    assert m3["invalidated"] == 6 and m3["fake_gtfs_processed"] == 6
+
+    # only_hours narrows to one window; budget caps creations
+    cfg["haifa"] = {"bbox": "34.70,32.00,34.75,32.05", "hours": [[8, 12]]}
+    areas.write_text(json.dumps(cfg))
+    m4 = run_task(
+        spark, "update-areas-fake-gtfs", **kw,
+        only_area="haifa", limit_fake_gtfs_processed=2,
+    )
+    assert m4["fake_gtfs_processed"] == 2
+    m5 = run_task(
+        spark, "update-areas-fake-gtfs", **kw, only_area="haifa",
+        only_hours="8,12",
+    )
+    assert m5["fake_gtfs_processed"] == 1 and m5["skipped"] == 2
