@@ -412,13 +412,65 @@ def _local_cc_finish(edges: DataFrame) -> DataFrame:
     return edges.sparkSession.createDataFrame(out, schema)
 
 
+def _map_local_contract(edges: DataFrame) -> DataFrame:
+    """One MAP-LOCAL contraction round before the distributed stars:
+    each partition's edges are collapsed with a partition-local
+    union-find (union-by-min with path compression), emitting one
+    ``(node, local_component_min)`` edge per non-root node. No shuffle —
+    an Arrow-batched mapInPandas whose state is bounded by the
+    partition's edge count (at default 128 MB splits: ~8M 16-byte edges,
+    a dict union-find well inside executor memory).
+
+    Why it helps: LSH/SimHash band files arrive roughly clustered (near
+    -dup groups emit several co-located pairs), so a partition-local
+    pass removes most intra-group redundancy and shortens chains before
+    the first large-star shuffle — the rounds that remain operate on the
+    contracted graph. Correctness: the emitted star preserves the node
+    set (every non-root points at its root; roots appear as targets —
+    a local component has >= 2 nodes, so every root is referenced) and
+    the component partition (nodes sharing a local root were connected;
+    cross-partition connectivity survives because both endpoints map
+    into their local roots, which remain connected through the nodes'
+    other copies). Those are exactly the invariants each distributed
+    round maintains, so the main loop (and the hybrid local finish)
+    consumes the contracted graph unchanged."""
+    import pandas as pd  # noqa: PLC0415
+
+    def per_partition(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
+                ru, rv = find(int(u)), find(int(v))
+                if ru != rv:
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+        if parent:
+            nodes = list(parent.keys())
+            yield pd.DataFrame(
+                {"u": nodes, "v": [find(x) for x in nodes]}, dtype="int64"
+            )
+
+    return edges.mapInPandas(per_partition, schema="u long, v long")
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 25,
     input_simple: bool = False,
-    local_finish_edges: int = 100_000,
+    local_finish_edges: int = 500_000,
+    precontract: bool = False,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph:
     ``(doc_id, component_id)`` where component_id = MIN doc id in the
@@ -465,12 +517,20 @@ def connected_components(
     once the surviving edge count (known for free from each round's
     Observation) drops to ``local_finish_edges`` or fewer, the tail is
     solved driver-side in one union-find pass (``_local_cc_finish``) —
-    a bounded ~1.6 MB collect at the default replaces the last several
-    overhead-dominated rounds (measured: the sf0.1 pair graph contracts
-    83k -> 8.4k edges in one round, then spent 4 more rounds x ~1 s of
-    pure scheduling converging). At corpus scale the rounds keep
-    running until either the bound or fingerprint convergence is hit;
-    set ``local_finish_edges=0`` to force the fully-distributed path.
+    a bounded ~8 MB Arrow collect at the default replaces the last
+    several overhead-dominated rounds (measured r3: the sf0.1 pair
+    graph contracts 83k -> 8.4k edges in one round, then spent 4 more
+    rounds x ~1 s of pure scheduling converging; r4: the sf10 graph is
+    305k edges of near-disjoint pairs — raising the bound from 100k to
+    500k skips rounds that contracted almost nothing, 12.0 s -> 6.7 s
+    for the whole query). Every distributed round costs 4 shuffles + a
+    checkpoint regardless of edge count, so the bound is set by what
+    the driver comfortably absorbs (500k (long,long) edges = ~8 MB
+    transfer, ~100 MB transient union-find dict), not by squeamishness
+    about collect. At corpus scale (billions of pair edges) the rounds
+    keep running until either the bound or fingerprint convergence is
+    hit; set ``local_finish_edges=0`` to force the fully-distributed
+    path.
     Every round boundary preserves the node set and the component
     partition (the same invariant the converged read-off relies on), so
     finishing at any boundary yields the same answer — pinned by tests
@@ -501,6 +561,14 @@ def connected_components(
     e = pairs.select(F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v"))
     if not input_simple:
         e = e.where(F.col("u") != F.col("v")).distinct()
+    if precontract:
+        # map-local union-find round (shuffle-free) — see _map_local_contract;
+        # OFF by default: measured neutral on the LSH/SimHash bench graphs
+        # (sf10: 305075 -> 304504 edges — their components are overwhelmingly
+        # isolated pairs, so partitions hold nothing to collapse). Turn on
+        # for chain-heavy graphs (e.g. shared-span or transcript-overlap
+        # pair streams) where partition-local redundancy is real.
+        e = _map_local_contract(e)
     edges, fp = _checkpoint_with_fingerprint(e)
     for _ in range(max_iter):
         if fp[0] <= local_finish_edges:

@@ -398,17 +398,21 @@ def _uf_components(n_nodes, edges):
     ],
 )
 @pytest.mark.parametrize("local_finish", [0, 50_000])
-def test_connected_components_matches_union_find(spark, edges, local_finish):
+@pytest.mark.parametrize("precontract", [False, True])
+def test_connected_components_matches_union_find(spark, edges, local_finish, precontract):
     """local_finish=0 forces the fully-distributed star rounds;
-    50_000 (the default) takes the driver-side union-find tail finish —
-    both paths must produce identical components."""
+    50_000 takes the driver-side union-find tail finish; precontract
+    adds the map-local union-find round first — all four combinations
+    must produce identical components."""
     expected = _uf_components(200, edges)
     pairs = spark.createDataFrame(
         [Row(doc_a=u, doc_b=v) for u, v in edges], "doc_a long, doc_b long"
     )
     got = {
         r["doc_id"]: r["component_id"]
-        for r in dd.connected_components(pairs, local_finish_edges=local_finish).collect()
+        for r in dd.connected_components(
+            pairs, local_finish_edges=local_finish, precontract=precontract
+        ).collect()
     }
     assert got == expected
 
