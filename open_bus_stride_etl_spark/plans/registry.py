@@ -304,6 +304,50 @@ _DEMOTE_LAST = [
     "source_balance_stats",  # d3-green; covered-by balanced_corpus (same broadcast rate table)
 ]
 
+# Auditable coverage ledger (VERDICT r3 item 8): every demoted query
+# maps to the IN-WINDOW query that redundantly exercises its operator
+# family, so the rotation bookkeeping is machine-checkable instead of
+# comment-archaeology. tests/test_smoke.py enforces: (a) every
+# _DEMOTE_LAST entry has a row here, (b) every covering query actually
+# sits inside the driver window. A tail query additionally keeps its
+# local check_oracle gate every round and has >= 1 driver-green row in
+# some past round (the rotation policy above).
+COVERED_BY = {
+    "first_last_by_seq": "first_last_durations",  # same min_by/max_by operator
+    "window_id_bounds": "streaming_hourly_events",  # min/max/count aggregate shape
+    "date_window_inclusive": "code_date_dim_join",  # date-keyed predicate
+    "null_marker_todo": "first_last_durations",  # IS NULL handling / NULL ordering
+    "like_prefix": "text_quality",  # string-predicate family
+    "enum_neq_counts": "pricing_summary",  # conditional counts over an enum filter
+    "bbox_filter": "nearest_point_per_user",  # lat/lon range predicates
+    "multikey_join": "code_date_dim_join",  # multi-key equi-join
+    "exact_ts_join": "banded_priority_match",  # timestamp-keyed join family
+    "running_min": "moving_avg_frame",  # running window frame aggregate
+    "topk_recent": "moving_avg_frame",  # ordered window over ts
+    "time_window_halfopen": "streaming_hourly_events",  # half-open ts predicate on events
+    "customers_with_open_orders": "dedup_incremental",  # semi/anti-join pair
+    "sort_nulls_last_topk": "first_last_durations",  # NULLS LAST ordering
+    "top2_per_user": "session_gaps",  # partitioned window per group
+    "hourly_minmax": "streaming_hourly_events",  # identical per-hour min/max
+    "distinct_set_per_day": "term_df_top20",  # distinct accumulation per group
+    "customers_without_orders": "dedup_incremental",  # anti-join
+    "canonical_export": "content_hash",  # same canonicalization stage
+    "left_band_join": "banded_priority_match",  # band-join family
+    "completeness_ratio": "pricing_summary",  # conditional-count ratio
+    "json_extract_filter": "ts_parse_roundtrip",  # scalar-function carrier family
+    "ledger_missing_dates": "dedup_incremental",  # anti-join against an index
+    "rollup_revenue": "pricing_summary",  # grouped money aggregate
+    "session_window_events": "streaming_session_windows",  # same oracle, streaming twin
+    "dedup_exact_groups": "dedup_incremental",  # exact-fingerprint family
+    "simhash_signatures": "dedup_simhash_hamming",  # same signature stage
+    "sample_10pct_stats": "reservoir_per_user",  # md5-membership sampling family
+    "stratified_sample_counts": "reservoir_per_user",  # md5-bucket membership core
+    "doc_chunks": "packed_batches",  # chunking family
+    "lang_id": "text_quality",  # pure-column text family
+    "doc_fingerprints": "content_hash",  # md5/rolling-hash fingerprints
+    "source_balance_stats": "balanced_corpus",  # same broadcast rate table
+}
+
 
 def _ordered(d: dict) -> dict:
     head = {k: v for k, v in d.items() if k not in _DEMOTE_LAST}

@@ -72,3 +72,22 @@ def test_substantive_queries_fit_driver_window():
         f"(driver-unverified): {overflow} — demote a redundant variant instead"
     )
     assert spilled == [], f"demoted queries inside the window: {spilled}"
+
+
+def test_tail_coverage_ledger_is_complete():
+    """Every demoted query must carry a COVERED_BY row naming the
+    in-window query that redundantly exercises its operator family, and
+    that covering query must actually be inside the driver window — the
+    rotation ledger stays auditable instead of comment-archaeology."""
+    import __spark_entry__ as entry_mod
+    from open_bus_stride_etl_spark.plans import registry
+
+    window = set(list(entry_mod.queries())[: registry.DRIVER_WINDOW])
+    unmapped = [n for n in registry._DEMOTE_LAST if n not in registry.COVERED_BY]
+    assert unmapped == [], f"tail queries without a coverage row: {unmapped}"
+    bad_cover = {
+        n: c for n, c in registry.COVERED_BY.items() if c not in window
+    }
+    assert bad_cover == {}, (
+        f"coverage rows pointing outside the driver window: {bad_cover}"
+    )
