@@ -25,26 +25,35 @@ from ..session import configure
 from .registry import query
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
-    """readStream over the events table with the same nanos->timestamp
-    normalization as sources/lake.py:load_table. Returns the stream and
-    the symlink source dir (deleted by _run_complete after the run)."""
+def _table_stream(
+    spark: SparkSession, sf_dir: str, table: str, ts_cols: tuple[str, ...] = ()
+) -> tuple[DataFrame, str]:
+    """readStream over a test table with the same nanos->timestamp
+    normalization as sources/lake.py:load_table applied to ``ts_cols``.
+    Returns the stream and the symlink source dir (deleted by the
+    runner after the run)."""
     configure(spark)
-    path = f"{sf_dir}/events.parquet"
+    path = f"{sf_dir}/{table}.parquet"
     schema = spark.read.parquet(path).schema
     # FileStreamSource requires a directory; the test tables are single
     # parquet files, so stream a temp dir holding a symlink to the file.
-    src_dir = tempfile.mkdtemp(prefix="events_src_")
-    os.symlink(os.path.abspath(path), os.path.join(src_dir, "events.parquet"))
+    src_dir = tempfile.mkdtemp(prefix=f"{table}_src_")
+    os.symlink(os.path.abspath(path), os.path.join(src_dir, f"{table}.parquet"))
     stream = spark.readStream.schema(schema).parquet(src_dir)
-    if isinstance(schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
-    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
-        # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) infers as NTZ,
-        # which withWatermark rejects; session tz is UTC so the cast is a
-        # pure relabel (same normalization as sources/lake.py:load_table).
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    for c in ts_cols:
+        if isinstance(schema[c].dataType, T.LongType):
+            stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(schema[c].dataType, T.TimestampNTZType):
+            # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) infers as
+            # NTZ, which withWatermark rejects; session tz is UTC so the
+            # cast is a pure relabel (same normalization as
+            # sources/lake.py:load_table).
+            stream = stream.withColumn(c, F.col(c).cast("timestamp"))
     return stream, src_dir
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
+    return _table_stream(spark, sf_dir, "events", ts_cols=("ts",))
 
 
 # Stateful-shuffle width for the BOUNDED harness runs. The session
@@ -439,3 +448,44 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
     ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
     return _run_to_parquet(joined, spark, src_dir)
+
+
+@query(
+    "streaming_dedup_exact",
+    r"""
+    SELECT DISTINCT
+      md5(substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 60)) AS fingerprint
+    FROM documents
+    """,
+)
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact dedup — the incremental-ingest twin of
+    dedup_exact_groups and the state-BOUNDED variant of a global
+    distinct: ``dropDuplicatesWithinWatermark`` on the normalized-prefix
+    fingerprint keeps one row per fingerprint and, at scale, EVICTS each
+    fingerprint's state once the event-time watermark passes it — so a
+    continuously-ingesting corpus pays state proportional to the
+    watermark window, not to corpus history (the plain streaming
+    ``dropDuplicates`` grows state forever; the batch incremental path
+    is dedup_incremental's anti-join against the seen-index). Ingest
+    time is synthesized deterministically from doc_id (the bounded test
+    table has no ingest column); the whole bounded run spans well under
+    the 1h watermark, so append mode emits exactly the distinct
+    fingerprint set — hash-matching the batch SELECT DISTINCT oracle.
+    Which physical row survives per fingerprint is arrival-order
+    dependent, so only the KEY column is emitted (deterministic by
+    construction); survivor election on payload is the batch twin's
+    job (min doc_id = keeper)."""
+    from ..operators.text import prefix_fingerprint  # noqa: PLC0415
+
+    raw, src_dir = _table_stream(spark, sf_dir, "documents")
+    d = raw.select(
+        prefix_fingerprint(F.col("text"), 60).alias("fingerprint"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("ingest_ts"),
+    )
+    deduped = (
+        d.withWatermark("ingest_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+        .select("fingerprint")
+    )
+    return _run_to_parquet(deduped, spark, src_dir)

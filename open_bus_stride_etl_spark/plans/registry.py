@@ -302,6 +302,8 @@ _DEMOTE_LAST = [
     "lang_id",  # d3-green; pure-column text family in-window via text_quality
     "doc_fingerprints",  # d3-green; rolling-hash covered by text_quality + content_hash
     "source_balance_stats",  # d3-green; covered-by balanced_corpus (same broadcast rate table)
+    # Slot freed for streaming_dedup_exact (new in r4):
+    "dedup_ngram_jaccard",  # green r1-r3; exact-Jaccard scoring is a stage of dedup_minhash_lsh
 ]
 
 # Auditable coverage ledger (VERDICT r3 item 8): every demoted query
@@ -346,6 +348,7 @@ COVERED_BY = {
     "lang_id": "text_quality",  # pure-column text family
     "doc_fingerprints": "content_hash",  # md5/rolling-hash fingerprints
     "source_balance_stats": "balanced_corpus",  # same broadcast rate table
+    "dedup_ngram_jaccard": "dedup_minhash_lsh",  # candidate-pair Jaccard is a stage of the LSH path
 }
 
 
