@@ -240,6 +240,13 @@ def clustered_near_dup_pairs(
     one core, the ceiling of a reasonable task). SemDeDup itself scales
     k with corpus size (Abbas et al. 2023 use k=50k for LAION-440M); the
     guard turns that operating rule into an enforced precondition."""
+    from .util import track_persist  # noqa: PLC0415
+
+    # Persist the assignment BEFORE the probe: the probe's action then
+    # materializes it once and the scoring join below reuses the cache —
+    # without this an unpersisted upstream (e.g. a k-means lineage)
+    # would be computed twice (measured +0.8 s at bench scale).
+    clusters = track_persist(clusters)
     occ = (
         clusters.groupBy(cluster_col)
         .count()
