@@ -56,31 +56,49 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     return _table_stream(spark, sf_dir, "events", ts_cols=("ts",))
 
 
-# Stateful-shuffle width for the BOUNDED harness runs. The session
-# default (32) is sized for batch scans at bench scale, but a streaming
-# query pays per-partition fixed costs the batch path doesn't: every
-# micro-batch initializes/commits one state store per shuffle partition,
-# and availableNow adds a closing no-data batch that touches all of them
-# again. On the toy bounded sources those fixed costs dominated
-# (streaming_click_purchase_join spent 6.3 s at sf0.1, ~20% of the whole
-# driver sweep, mostly in 32-way state-store init x several batches).
-# Eight partitions keep real parallelism for the sf0.1 row volumes while
-# cutting the state-store tax 4x. Production streams size this to the
-# cluster (state-store count is fixed at first checkpoint), so the trim
-# is scoped to each harness run and restored in `finally`.
-_STREAM_SHUFFLE_PARTITIONS = "8"
+# Stateful-shuffle width for the BOUNDED harness runs, sized from the
+# source's byte volume. A streaming query pays per-partition fixed costs
+# the batch path doesn't: every micro-batch initializes/commits one
+# state store per shuffle partition, and availableNow adds a closing
+# no-data batch that touches all of them again. On toy bounded sources
+# those fixed costs dominated (streaming_click_purchase_join spent
+# 6.3 s at sf0.1 on 32-way state-store init x several batches; 8
+# partitions -> 3.0 s) — but a CONSTANT narrow width is its own scale
+# trap: the same 8 partitions starved the sf10 stream-stream join
+# (290 MB of events through 8 state tasks: 27.5 s, a 10x x100 ratio
+# where the r3 32-wide run scaled at ~2x). So the width follows the
+# data: one state partition per ~8 MB of bounded source, clamped to
+# [8, 32] — sf0.1 (2 MB) keeps the trimmed 8, sf10 (290 MB) gets the
+# session's full 32. Production streams size this to the cluster
+# (state-store count is fixed at first checkpoint); the scope restores
+# the caller's value in `finally`.
+_STREAM_PART_BYTES = 8 << 20
+_STREAM_PART_MIN, _STREAM_PART_MAX = 8, 32
+
+
+def _stream_partitions(src_dir: str) -> int:
+    size = 0
+    for name in os.listdir(src_dir):
+        try:
+            size += os.path.getsize(os.path.join(src_dir, name))  # follows symlinks
+        except OSError:
+            pass
+    return max(_STREAM_PART_MIN, min(_STREAM_PART_MAX, -(-size // _STREAM_PART_BYTES)))
 
 
 class _stream_shuffle_scope:
-    """Context manager: temporarily narrow spark.sql.shuffle.partitions
-    for a bounded streaming run, restoring the caller's value on exit."""
+    """Context manager: temporarily size spark.sql.shuffle.partitions to
+    the bounded source's volume, restoring the caller's value on exit."""
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, src_dir: str):
         self.spark = spark
+        self.src_dir = src_dir
 
     def __enter__(self):
         self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set("spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS)
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(_stream_partitions(self.src_dir))
+        )
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
@@ -115,7 +133,7 @@ def _run_complete(
     name = f"q_stream_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     try:
-        with _stream_shuffle_scope(spark):
+        with _stream_shuffle_scope(spark, src_dir):
             q = (
                 df.writeStream.format("memory")
                 .queryName(name)
@@ -344,7 +362,7 @@ def _run_to_parquet(df: DataFrame, spark: SparkSession, src_dir: str) -> DataFra
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     out_dir = tempfile.mkdtemp(prefix=f"out_{name}_")
     try:
-        with _stream_shuffle_scope(spark):
+        with _stream_shuffle_scope(spark, src_dir):
             q = (
                 df.writeStream.format("parquet")
                 .option("path", out_dir)
