@@ -29,7 +29,25 @@ def kmeans_assignments(
     k: int = 8,
     iters: int = 3,
 ) -> DataFrame:
-    """``(id, cluster)`` after ``iters`` Lloyd rounds: seeds are the k
+    """``(id, cluster)`` assignment only — see ``kmeans_fit``."""
+    return kmeans_fit(embs, id_col=id_col, vec_col=vec_col, k=k, iters=iters)[0]
+
+
+def kmeans_fit(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """``(assignments, centroids)`` after ``iters`` Lloyd rounds —
+    ``centroids`` is the long-format ``(cluster, pos, cq)`` table the
+    returned assignment was computed against: exactly the persistable
+    IVF index artifact (write it as parquet, reload it to assign/probe
+    new vectors without retraining — plans/llm_tasks.py:
+    llm_build_ann_index / llm_ann_query).
+
+    ``(id, cluster)`` after ``iters`` Lloyd rounds: seeds are the k
     lowest-id vectors (cluster = seed rank), each round assigns every
     point to its nearest centroid (squared L2 on quantized ints, ties to
     the lowest cluster id) and recomputes centroids as the exact integer
@@ -85,7 +103,11 @@ def kmeans_assignments(
     for t in range(iters):
         a = _assign(cents)
         if t == iters - 1:
-            return a.select(F.col("id").alias(id_col), "cluster")
+            cdf = spark.createDataFrame(
+                [(cl, pos, cq) for (cl, pos), cq in sorted(cents.items())],
+                "cluster long, pos int, cq long",
+            )
+            return a.select(F.col("id").alias(id_col), "cluster"), cdf
         upd = (
             a.join(pts, on="id")
             .groupBy("cluster", "pos")

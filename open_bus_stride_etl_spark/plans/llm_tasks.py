@@ -103,3 +103,135 @@ def llm_curate_corpus(
         "n_final": n_final,
         "out_dir": out,
     }
+
+
+@task("llm-build-ann-index", cadence="daily", k=8, iters=3)
+def llm_build_ann_index(
+    spark: SparkSession,
+    base_dir: str,
+    k: int = 8,
+    iters: int = 3,
+    out_dir: str | None = None,
+) -> dict:
+    """Train and PERSIST the IVF index over ``{base_dir}/
+    embeddings.parquet``: k-means centroids (the coarse quantizer) and
+    the full assignment (the inverted lists), each written as parquet —
+    the offline index-build stage every production ANN deployment runs
+    (ann_ivf_topk's deterministic pivots are the oracle-checkable
+    stand-in; THIS is the trained path). Reported occupancy stats are
+    the index-health metrics that drive the scale-k-with-corpus rule
+    (similarity.py:clustered_near_dup_pairs's enforced precondition).
+
+    Scale shape: training is operators/clustering.py:kmeans_fit (each
+    Lloyd round = one scan of the persisted long-format points; only
+    k x dim ints ever reach the driver); the index write shuffles
+    (id, cluster) pairs, never vectors."""
+    configure(spark)
+    from ..operators.clustering import kmeans_fit  # noqa: PLC0415
+
+    emb = spark.read.parquet(f"{base_dir}/embeddings.parquet")
+    assign, cents = kmeans_fit(emb, k=k, iters=iters)
+    out = out_dir or f"{base_dir}/ann_index"
+    cents.write.mode("overwrite").parquet(f"{out}/centroids.parquet")
+    assign.write.mode("overwrite").parquet(f"{out}/assignments.parquet")
+    occ = (
+        spark.read.parquet(f"{out}/assignments.parquet")
+        .groupBy("cluster")
+        .count()
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("count").alias("n_vectors"),
+            F.min("count").alias("occ_min"),
+            F.max("count").alias("occ_max"),
+        )
+        .collect()[0]
+    )
+    return {
+        "k": k,
+        "iters": iters,
+        "n_vectors": occ["n_vectors"],
+        "n_cells_nonempty": occ["n_cells"],
+        "occupancy_min": occ["occ_min"],
+        "occupancy_max": occ["occ_max"],
+        "out_dir": out,
+    }
+
+
+@task("llm-ann-query", cadence="daily", k_top=5, n_probe=2, n_queries=16)
+def llm_ann_query(
+    spark: SparkSession,
+    base_dir: str,
+    index_dir: str | None = None,
+    k_top: int = 5,
+    n_probe: int = 2,
+    n_queries: int = 16,
+    out_dir: str | None = None,
+) -> dict:
+    """Answer a query set against the PERSISTED IVF index (built by
+    llm-build-ann-index) without retraining: queries are coarse-
+    quantized against the loaded centroids driver-side (k x dim ints),
+    each probing its ``n_probe`` nearest cells; the corpus makes ONE
+    mapInPandas pass keyed by its stored cell assignment, scoring each
+    Arrow batch's cell-groups against the probing queries' blocks
+    (similarity.py:_partitioned_probe — only per-batch top-k rows leave
+    the workers). The query set is the ``n_queries`` lowest-id vectors
+    (deterministic, like the oracle-checked ANN queries).
+
+    Scale shape: the assignment join is an equi-join on the 8-byte id;
+    nothing shuffles vectors except the one corpus scan's Arrow
+    batches; raising n_probe trades recall for the number of cell
+    blocks each batch matmuls against."""
+    import numpy as np  # noqa: PLC0415
+
+    configure(spark)
+    from ..operators.similarity import _partitioned_probe, quantized_vec  # noqa: PLC0415
+
+    idx = index_dir or f"{base_dir}/ann_index"
+    emb = spark.read.parquet(f"{base_dir}/embeddings.parquet")
+    cent_rows = spark.read.parquet(f"{idx}/centroids.parquet").collect()
+    k = 1 + max(r["cluster"] for r in cent_rows)
+    dim = max(r["pos"] for r in cent_rows)
+    c_mat = np.zeros((k, dim), dtype=np.float64)
+    for r in cent_rows:
+        c_mat[r["cluster"], r["pos"] - 1] = r["cq"]
+    c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+    c_norm[c_norm == 0] = 1.0
+
+    q_rows = (
+        emb.orderBy("vec_id")
+        .limit(n_queries)
+        .select(F.col("vec_id").alias("query_id"), quantized_vec("embedding").alias("_qq"))
+        .collect()
+    )
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["_qq"] for r in q_rows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    cos_qc = (q_mat @ c_mat.T) / (q_norm[:, None] * c_norm[None, :])
+    # n_probe nearest cells per query, ties to the lowest cluster id
+    probe = np.argsort(-cos_qc, axis=1, kind="stable")[:, :n_probe]
+    by_cell: dict[int, tuple] = {}
+    for cell in np.unique(probe):
+        sel = (probe == cell).any(axis=1)
+        by_cell[int(cell)] = (q_ids[sel], q_mat[sel], q_norm[sel])
+
+    assign = spark.read.parquet(f"{idx}/assignments.parquet")
+    cv = (
+        emb.select(F.col("vec_id").alias("cand_id"), quantized_vec("embedding").alias("_cq"))
+        .join(
+            assign.select(F.col("vec_id").alias("cand_id"), F.col("cluster").alias("_key")),
+            on="cand_id",
+        )
+        .where(F.col("_key").isin([int(c) for c in by_cell]))
+    )
+    result = _partitioned_probe(cv, by_cell, k_top)
+    out = out_dir or f"{base_dir}/ann_results"
+    result.write.mode("overwrite").parquet(out)
+    n_rows = spark.read.parquet(out).count()
+    return {
+        "n_queries": len(q_rows),
+        "k_top": k_top,
+        "n_probe": n_probe,
+        "n_result_rows": n_rows,
+        "n_probed_cells": len(by_cell),
+        "out_dir": out,
+    }

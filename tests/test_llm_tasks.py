@@ -5,6 +5,7 @@ import json
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from open_bus_stride_etl_spark.plans import llm_tasks  # noqa: F401 - registers
 from open_bus_stride_etl_spark.plans.tasks import run_task
@@ -60,3 +61,67 @@ def test_curate_corpus_task_jsonl(spark, lake, tmp_path):
     )
     assert m["n_total"] == 5 and m["n_final"] == 1
     assert spark.read.parquet(m["out_dir"]).count() == 1
+
+
+@pytest.fixture
+def emb_lake(spark, tmp_path):
+    """Embeddings with 3 well-separated direction groups + noise dims,
+    so trained cells are meaningful and near-neighbors share a group."""
+    import math
+
+    rows = []
+    for i in range(60):
+        g = i % 3
+        vec = [0.0] * 8
+        vec[g] = 1.0
+        vec[3 + g] = 0.5 + (i % 7) * 0.01  # within-group variation
+        vec[7] = 0.001 * i
+        rows.append(Row(vec_id=i + 1, embedding=[float(x) for x in vec]))
+    base = str(tmp_path / "emb_lake")
+    df = spark.createDataFrame(rows)
+    df.select("vec_id", F.col("embedding").cast("array<float>").alias("embedding")) \
+        .write.parquet(f"{base}/embeddings.parquet")
+    return base
+
+
+def test_ann_index_build_and_query(spark, emb_lake, tmp_path):
+    """The persisted-IVF lifecycle: build writes centroid + assignment
+    parquet with sane occupancy metrics; query answers from the loaded
+    index without retraining, deterministically, self-excluded, and
+    with in-group nearest neighbors."""
+    idx = str(tmp_path / "idx")
+    m = run_task(
+        spark, "llm-build-ann-index", base_dir=emb_lake, k=3, iters=3, out_dir=idx
+    )
+    assert m["n_vectors"] == 60
+    assert 1 <= m["n_cells_nonempty"] <= 3
+    assert m["occupancy_max"] >= m["occupancy_min"] >= 1
+    cents = spark.read.parquet(f"{idx}/centroids.parquet")
+    assert cents.count() == 3 * 8  # k x dim long format
+
+    out = str(tmp_path / "res")
+    q = run_task(
+        spark, "llm-ann-query", base_dir=emb_lake, index_dir=idx,
+        k_top=3, n_probe=2, n_queries=6, out_dir=out,
+    )
+    assert q["n_queries"] == 6
+    res = spark.read.parquet(out).collect()
+    assert q["n_result_rows"] == len(res) == 6 * 3
+    per_q = {}
+    for r in res:
+        assert r["cand_id"] != r["query_id"]  # self-excluded
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["cand_id"], r["cos"]))
+    for qid, hits in per_q.items():
+        assert sorted(h[0] for h in hits) == [1, 2, 3]
+        # rank-1 neighbor shares the query's direction group
+        top = min(hits)[1]
+        assert (top - 1) % 3 == (qid - 1) % 3
+    # determinism: a second run reproduces the result exactly
+    out2 = str(tmp_path / "res2")
+    run_task(
+        spark, "llm-ann-query", base_dir=emb_lake, index_dir=idx,
+        k_top=3, n_probe=2, n_queries=6, out_dir=out2,
+    )
+    a = sorted(map(tuple, spark.read.parquet(out).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out2).collect()))
+    assert a == b

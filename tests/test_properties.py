@@ -220,3 +220,37 @@ def test_shared_span_pairs_matches_bruteforce(spark, pair):
         r = got[0]
         assert (r["max_run_shingles"], r["n_matches"]) == want
         assert r["max_run_words"] == want[0] + 2
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=50,
+    ),
+    st.sampled_from([0, 50_000]),
+)
+@settings(**SETTINGS)
+def test_connected_components_precontract_invariant(spark, edges, local_finish):
+    """The map-local union-find pre-contraction must preserve components
+    on arbitrary random multigraphs (self-loops, duplicate edges,
+    chains) under BOTH finish paths — the same invariant the
+    parametrized unit test pins on hand-picked graphs."""
+    from open_bus_stride_etl_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [Row(doc_a=u, doc_b=v) for u, v in edges], "doc_a long, doc_b long"
+    )
+    base = {
+        (r["doc_id"], r["component_id"])
+        for r in dd.connected_components(
+            df, local_finish_edges=local_finish, precontract=False
+        ).collect()
+    }
+    pre = {
+        (r["doc_id"], r["component_id"])
+        for r in dd.connected_components(
+            df, local_finish_edges=local_finish, precontract=True
+        ).collect()
+    }
+    assert pre == base
