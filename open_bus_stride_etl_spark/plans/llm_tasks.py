@@ -49,6 +49,7 @@ def llm_curate_corpus(
     langs: str = "en,und",
     input_format: str = "parquet",
     out_dir: str | None = None,
+    history_dir: str | None = None,
 ) -> dict:
     """Curate ``{base_dir}/documents.parquet`` (or ``documents_jsonl/``)
     into ``{out_dir or base_dir/curated_documents}``: quality floor,
@@ -81,6 +82,31 @@ def llm_curate_corpus(
         F.count(F.when(ok_quality & ok_lang & keeper, 1)).alias("n_after_exact"),
     ).collect()[0]
 
+    # Incremental mode (the daily-crawl shape, same contract as the
+    # dedup_incremental query): drop any document whose fingerprint is
+    # already in the history index — an anti-join against an 8-byte-key
+    # table — and, after the write, append the NEW survivors'
+    # fingerprints so the next run sees them. The index append is
+    # distinct fingerprints only: it grows with unique content, not
+    # crawl volume.
+    n_seen_dropped = 0
+    if history_dir is not None:
+        import os  # noqa: PLC0415
+
+        seen_path = f"{history_dir}/seen_fingerprints.parquet"
+        if os.path.isdir(seen_path):
+            seen = spark.read.parquet(seen_path)
+            scored = scored.join(
+                seen.select(F.col("fingerprint").alias("_fp")), on="_fp", how="left_anti"
+            )
+            # dropped-as-seen among the WOULD-BE survivors (quality/lang/
+            # keeper already passed) — the operationally meaningful count.
+            # A whole fp-group drops together (same fingerprint = same
+            # seen verdict), so keeper semantics stay consistent.
+            n_seen_dropped = flags["n_after_exact"] - scored.where(
+                ok_quality & ok_lang & keeper
+            ).count()
+
     near_dup_losers = (
         dd.minhash_lsh_pairs(docs)
         .where(F.col("jaccard_bp") >= jaccard_min_bp)
@@ -95,11 +121,24 @@ def llm_curate_corpus(
     out = out_dir or f"{base_dir}/curated_documents"
     survivors.write.mode("overwrite").parquet(out)
     n_final = spark.read.parquet(out).count()
+    if history_dir is not None:
+        import os  # noqa: PLC0415
+
+        os.makedirs(history_dir, exist_ok=True)
+        seen_path = f"{history_dir}/seen_fingerprints.parquet"
+        (
+            spark.read.parquet(out)
+            .select(tx.doc_fingerprint(F.col("text")).alias("fingerprint"))
+            .distinct()
+            .write.mode("append")
+            .parquet(seen_path)
+        )
     return {
         "n_total": flags["n_total"],
         "n_quality_lang": flags["n_quality_lang"],
         "n_after_exact": flags["n_after_exact"],
-        "n_near_dup_dropped": flags["n_after_exact"] - n_final,
+        "n_seen_dropped": n_seen_dropped,
+        "n_near_dup_dropped": flags["n_after_exact"] - n_final - n_seen_dropped,
         "n_final": n_final,
         "out_dir": out,
     }

@@ -125,3 +125,40 @@ def test_ann_index_build_and_query(spark, emb_lake, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(out).collect()))
     b = sorted(map(tuple, spark.read.parquet(out2).collect()))
     assert a == b
+
+
+def test_curate_corpus_incremental_history(spark, lake, tmp_path):
+    """Daily-crawl incremental mode: run 1 seeds the fingerprint
+    history; run 2 over the same corpus drops every already-seen
+    survivor; genuinely new content still passes."""
+    hist = str(tmp_path / "hist")
+    out1 = str(tmp_path / "c1")
+    m1 = run_task(
+        spark, "llm-curate-corpus", base_dir=lake, out_dir=out1, history_dir=hist
+    )
+    assert m1["n_final"] > 0 and m1["n_seen_dropped"] == 0
+
+    out2 = str(tmp_path / "c2")
+    m2 = run_task(
+        spark, "llm-curate-corpus", base_dir=lake, out_dir=out2, history_dir=hist
+    )
+    assert m2["n_final"] == 0
+    assert m2["n_seen_dropped"] == m1["n_final"]
+
+    # a new document (unseen fingerprint) passes on run 3
+    from pyspark.sql import Row as R
+
+    extra = spark.createDataFrame(
+        [R(doc_id=99, source="web", lang="en",
+           text="completely fresh sentence about rivers and mountains flowing "
+                "under the bright morning sun while travelers walk the long road")]
+    )
+    base2 = str(tmp_path / "lake2")
+    spark.read.parquet(f"{lake}/documents.parquet").unionByName(extra) \
+        .write.parquet(f"{base2}/documents.parquet")
+    out3 = str(tmp_path / "c3")
+    m3 = run_task(
+        spark, "llm-curate-corpus", base_dir=base2, out_dir=out3, history_dir=hist
+    )
+    assert m3["n_final"] == 1
+    assert {r["doc_id"] for r in spark.read.parquet(out3).collect()} == {99}
