@@ -7,10 +7,19 @@ BASELINE.json extension.
 Cross-engine exactness doctrine (plans/registry.py docstring): every
 arithmetic step is integer — components are micro-unit quantized
 (float32 -> double -> round, operators/similarity.py:quantized_vec),
-distances are exact int64 sums of squares, and centroid means are
+distances are exact integer sums of squares, and centroid means are
 exact integer floor-division — so a fixed-iteration run is bit-identical
 in any engine and the DuckDB oracle can unroll the same iterations as
 chained CTEs.
+
+The distance kernel is a blocked float64 matmul (r4): d2 = |x|^2 +
+|c|^2 - 2<x,c> over the quantized ints, each term integer-valued and
+exactly representable in float64 (the same contract as cosine_topk),
+so it computes the IDENTICAL integers as the previous long-format
+pos-equi-join formulation — which materialized O(N x dim x k) join
+rows per round and was 5-8x slower at scale — while making one Arrow
+pass per round with BLAS arithmetic. A fail-fast magnitude guard
+enforces the float64-exactness precondition instead of assuming it.
 """
 
 from __future__ import annotations
@@ -20,6 +29,13 @@ from pyspark.sql import functions as F
 
 from .similarity import quantized_vec
 from .util import track_persist
+
+# d2 = |x|^2 + |c|^2 - 2<x,c> is exact in float64 iff every term stays
+# <= 2^53. With |q| <= _Q_MAX and dim <= _DIM_MAX the largest term is
+# 2 * dim * _Q_MAX^2 <= 2^53. 2^23 micro-units = components up to ~8.4
+# — far beyond any normalized embedding (unit vectors quantize to 1e6).
+_Q_MAX = float(1 << 23)
+_DIM_MAX = 64
 
 
 def kmeans_assignments(
@@ -47,81 +63,121 @@ def kmeans_fit(
     new vectors without retraining — plans/llm_tasks.py:
     llm_build_ann_index / llm_ann_query).
 
-    ``(id, cluster)`` after ``iters`` Lloyd rounds: seeds are the k
-    lowest-id vectors (cluster = seed rank), each round assigns every
-    point to its nearest centroid (squared L2 on quantized ints, ties to
-    the lowest cluster id) and recomputes centroids as the exact integer
-    floor-mean of members; clusters that lose all members keep their
-    previous centroid. The returned assignment is the one computed
-    against the round-``iters-1`` centroids — i.e. the labels a round-
-    ``iters`` update would aggregate.
+    ``assignments`` is ``(id, cluster)`` after ``iters`` Lloyd rounds:
+    seeds are the k lowest-id vectors (cluster = seed rank), each round
+    assigns every point to its nearest centroid (squared L2 on
+    quantized ints, ties to the lowest cluster id) and recomputes
+    centroids as the exact integer floor-mean of members; clusters that
+    lose all members keep their previous centroid. The returned
+    assignment is the one computed against the round-``iters-1``
+    centroids — i.e. the labels a round-``iters`` update would
+    aggregate.
 
-    Scale shape (the standard Spark k-means layout, cf. MLlib):
-    - Points live in long format ``(id, pos, q)`` and are persisted —
-      each Lloyd round is one scan of that table, never of the raw
-      corpus.
-    - Centroids are k x dim ≈ a few KB: they ride to executors as a
-      broadcast-joined literal DataFrame, and each update round collects
-      only that much back to the driver (breaking lineage growth — the
-      iterative-plan trap).
-    - Distance evaluation is an explode-free pos-equi-join + one
-      map-side-combinable SUM per (point, cluster): no shuffle keyed by
-      anything wider than the point id.
+    Scale shape (r4 kernel):
+    - Points are persisted WIDE ``(id, q: array<long>)`` — each Lloyd
+      round is ONE Arrow mapInPandas pass over that table scoring every
+      batch against the broadcast k x dim centroid matrix with a
+      single BLAS matmul (integer-valued float64, exact by the module
+      contract + the fail-fast magnitude guard).
+    - Update rounds emit per-(batch, cluster) partial component sums
+      (k x dim longs per batch — map-side combine in the kernel), so
+      the only shuffle is the tiny (cluster, pos) aggregation; the
+      driver receives k x dim ints per round (breaking lineage growth —
+      the iterative-plan trap).
+    - The final floor-mean runs in Spark SQL with the pmod-subtract
+      trick so division is exact and identical to the oracle's
+      (SUM - ((SUM % n) + n) % n) // n.
     """
+    import numpy as np  # noqa: PLC0415
+
     spark = embs.sparkSession
     pts = track_persist(
-        embs.select(F.col(id_col).alias("id"), F.posexplode(quantized_vec(vec_col)))
-        .select("id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("q"))
+        embs.select(F.col(id_col).alias("id"), quantized_vec(vec_col).alias("q"))
     )
 
-    seed_ids = [r[0] for r in embs.select(id_col).orderBy(id_col).limit(k).collect()]
-    rank = {vid: i for i, vid in enumerate(seed_ids)}
-    cents: dict[tuple[int, int], int] = {
-        (rank[r["id"]], r["pos"]): r["q"]
-        for r in pts.where(F.col("id").isin(seed_ids)).collect()
-    }
+    seed_rows = pts.orderBy("id").limit(k).collect()
+    if not seed_rows:
+        empty_a = spark.createDataFrame([], f"{id_col} long, cluster long")
+        empty_c = spark.createDataFrame([], "cluster long, pos int, cq long")
+        return empty_a, empty_c
+    c_mat = np.array([r["q"] for r in seed_rows], dtype=np.float64)
+    dim = c_mat.shape[1]
 
-    def _assign(centroids: dict) -> DataFrame:
-        cdf = spark.createDataFrame(
-            [(cl, pos, cq) for (cl, pos), cq in centroids.items()],
-            "cluster long, pos int, cq long",
-        )
-        d = (
-            pts.join(F.broadcast(cdf), on="pos")
-            .groupBy("id", "cluster")
-            .agg(F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))).alias("d2"))
-        )
-        # lexicographic struct-min = (min d2, then min cluster): the
-        # deterministic tie-break the oracle reproduces with its
-        # min-distance + min-cluster pair of aggregates.
-        return (
-            d.groupBy("id")
-            .agg(F.min(F.struct("d2", "cluster")).alias("mn"))
-            .select("id", F.col("mn.cluster").cast("long").alias("cluster"))
-        )
+    def _scan(centroids: "np.ndarray", with_sums: bool):
+        """One Arrow pass: per-row nearest centroid; optionally also the
+        per-batch partial (cluster, pos, sum, count) update rows."""
+        import pandas as pd  # noqa: PLC0415
 
-    for t in range(iters):
-        a = _assign(cents)
-        if t == iters - 1:
-            cdf = spark.createDataFrame(
-                [(cl, pos, cq) for (cl, pos), cq in sorted(cents.items())],
-                "cluster long, pos int, cq long",
-            )
-            return a.select(F.col("id").alias(id_col), "cluster"), cdf
+        bc = spark.sparkContext.broadcast(centroids)
+
+        def go(batches):
+            c = bc.value
+            c2 = (c * c).sum(axis=1)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                m = np.vstack(pdf["q"].to_numpy()).astype(np.float64)
+                if np.abs(m).max(initial=0.0) > _Q_MAX or m.shape[1] > _DIM_MAX:
+                    raise ValueError(
+                        "kmeans_fit: quantized component exceeds the float64-"
+                        f"exact bound (|q| <= {int(_Q_MAX)}, dim <= {_DIM_MAX}); "
+                        "normalize the embeddings or lower the quantization scale"
+                    )
+                # every term integer-valued and <= 2^53: exact float64
+                d2 = (m * m).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (m @ c.T)
+                cl = np.argmin(d2, axis=1)  # first min == lowest cluster id
+                if not with_sums:
+                    yield pd.DataFrame(
+                        {
+                            "id": pdf["id"].to_numpy(np.int64),
+                            "cluster": cl.astype(np.int64),
+                        }
+                    )
+                    continue
+                out_c, out_p, out_s, out_n = [], [], [], []
+                for cc in np.unique(cl):
+                    sel = cl == cc
+                    s = m[sel].sum(axis=0)  # <= batch * Q_MAX: exact
+                    out_c.append(np.full(dim, cc, dtype=np.int64))
+                    out_p.append(np.arange(1, dim + 1, dtype=np.int32))
+                    out_s.append(s.astype(np.int64))
+                    out_n.append(np.full(dim, int(sel.sum()), dtype=np.int64))
+                yield pd.DataFrame(
+                    {
+                        "cluster": np.concatenate(out_c),
+                        "pos": np.concatenate(out_p),
+                        "s": np.concatenate(out_s),
+                        "n": np.concatenate(out_n),
+                    }
+                )
+
+        schema = "cluster long, pos int, s long, n long" if with_sums else "id long, cluster long"
+        return pts.mapInPandas(go, schema)
+
+    for _ in range(iters - 1):
         upd = (
-            a.join(pts, on="id")
+            _scan(c_mat, with_sums=True)
             .groupBy("cluster", "pos")
-            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
-            # exact integer floor-mean: subtract pmod first so div is
-            # exact (and floor == trunc), identical to the oracle's
-            # (SUM - ((SUM % n) + n) % n) // n
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .select(
-                "cluster", "pos",
+                "cluster",
+                "pos",
                 F.expr("CAST((s - pmod(s, n)) div n AS BIGINT)").alias("cq"),
             )
             .collect()
         )
         # merge over the previous round: clusters with no members keep
         # their old centroid
-        cents = {**cents, **{(r["cluster"], r["pos"]): r["cq"] for r in upd}}
-    raise AssertionError("unreachable: iters >= 1 returns inside the loop")
+        for r in upd:
+            c_mat[r["cluster"], r["pos"] - 1] = r["cq"]
+
+    a = _scan(c_mat, with_sums=False).select(F.col("id").alias(id_col), "cluster")
+    cdf = spark.createDataFrame(
+        [
+            (cl, pos + 1, int(c_mat[cl, pos]))
+            for cl in range(c_mat.shape[0])
+            for pos in range(dim)
+        ],
+        "cluster long, pos int, cq long",
+    )
+    return a, cdf
