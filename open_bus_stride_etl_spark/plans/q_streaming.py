@@ -507,3 +507,42 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("fingerprint")
     )
     return _run_to_parquet(deduped, spark, src_dir)
+
+
+@query(
+    "streaming_hourly_distinct_users",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           COUNT(*) AS n_events
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
+    """,
+)
+def streaming_hourly_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful DISTINCT aggregation under streaming: per-hour unique
+    user counts via a watermarked ``collect_set`` (streaming forbids
+    COUNT(DISTINCT) directly — the set IS the state, merged across
+    micro-batches and evicted with its window behind the watermark).
+    This is the cardinality-bookkeeping shape (unique vehicles per
+    hour, unique docs per crawl window) that neither the running
+    counts (streaming_hourly_events) nor the batch A11 distinct-set
+    query exercises in streaming form. Complete mode over the bounded
+    source makes the merged sets exactly the batch sets, so the count
+    hash-matches the COUNT(DISTINCT) oracle. State note for unbounded
+    use: per-window state is O(distinct keys); beyond memory, the
+    exact set swaps for approx_count_distinct (sketch state, no
+    oracle-exactness) — the documented trade, not a silent cap."""
+    stream, src_dir = _events_stream(spark, sf_dir)
+    agg = (
+        stream.where(F.col("ts").isNotNull())
+        .withWatermark("ts", "4 days")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.size(F.collect_set("user_id")).cast("long").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    out = _run_complete(agg, spark, src_dir)
+    return out.select(
+        F.col("w.start").alias("hour_start"), "n_users", "n_events"
+    )

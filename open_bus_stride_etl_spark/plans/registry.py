@@ -304,6 +304,8 @@ _DEMOTE_LAST = [
     "source_balance_stats",  # d3-green; covered-by balanced_corpus (same broadcast rate table)
     # Slot freed for streaming_dedup_exact (new in r4):
     "dedup_ngram_jaccard",  # green r1-r3; exact-Jaccard scoring is a stage of dedup_minhash_lsh
+    # Slot freed for streaming_hourly_distinct_users (new in r4):
+    "ann_lsh_topk",  # green d1-d3; strictly generalized by in-window ann_lsh_multiprobe_topk
 ]
 
 # Auditable coverage ledger (VERDICT r3 item 8): every demoted query
@@ -349,6 +351,7 @@ COVERED_BY = {
     "doc_fingerprints": "content_hash",  # md5/rolling-hash fingerprints
     "source_balance_stats": "balanced_corpus",  # same broadcast rate table
     "dedup_ngram_jaccard": "dedup_minhash_lsh",  # candidate-pair Jaccard is a stage of the LSH path
+    "ann_lsh_topk": "ann_lsh_multiprobe_topk",  # multiprobe strictly generalizes the base probe
 }
 
 
