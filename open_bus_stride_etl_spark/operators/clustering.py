@@ -30,12 +30,22 @@ from pyspark.sql import functions as F
 from .similarity import quantized_vec
 from .util import track_persist
 
-# d2 = |x|^2 + |c|^2 - 2<x,c> is exact in float64 iff every term stays
-# <= 2^53. With |q| <= _Q_MAX and dim <= _DIM_MAX the largest term is
-# 2 * dim * _Q_MAX^2 <= 2^53. 2^23 micro-units = components up to ~8.4
-# — far beyond any normalized embedding (unit vectors quantize to 1e6).
-_Q_MAX = float(1 << 23)
+# d2 = |x|^2 + |c|^2 - 2<x,c> is exact in float64 iff every
+# INTERMEDIATE term AND the final value stay <= 2^53. The binding
+# constraint is the final value: d2 = |x - c|^2 can reach
+# dim * (2*max|q|)^2 = 4 * dim * max|q|^2 (x ~ -c at full magnitude) —
+# a per-term-only bound (2 * dim * max|q|^2 <= 2^53) is ~2x too lax: an
+# odd d2 just above 2^53 rounds and can flip an argmin near-tie. So the
+# guard requires 4 * dim * max|q|^2 <= 2^53, with the admissible
+# magnitude DERIVED from the batch's actual dim:
+# max|q| <= sqrt(2^51 / dim) — ~2^22.5 (4.7e6) at dim 64, 2^25 at
+# dim 2 — always far beyond any normalized embedding (unit vectors
+# quantize to 1e6 micro-units).
 _DIM_MAX = 64
+
+
+def _q_bound(dim: int) -> float:
+    return float((float(1 << 51) / max(dim, 1)) ** 0.5)
 
 
 def kmeans_assignments(
@@ -117,13 +127,15 @@ def kmeans_fit(
                 if pdf.empty:
                     continue
                 m = np.vstack(pdf["q"].to_numpy()).astype(np.float64)
-                if np.abs(m).max(initial=0.0) > _Q_MAX or m.shape[1] > _DIM_MAX:
+                q_max = _q_bound(m.shape[1])
+                if np.abs(m).max(initial=0.0) > q_max or m.shape[1] > _DIM_MAX:
                     raise ValueError(
                         "kmeans_fit: quantized component exceeds the float64-"
-                        f"exact bound (|q| <= {int(_Q_MAX)}, dim <= {_DIM_MAX}); "
+                        f"exact bound (|q| <= {int(q_max)} at dim {m.shape[1]}, "
+                        f"dim <= {_DIM_MAX}); "
                         "normalize the embeddings or lower the quantization scale"
                     )
-                # every term integer-valued and <= 2^53: exact float64
+                # every term AND the final |x-c|^2 <= 2^53: exact float64
                 d2 = (m * m).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (m @ c.T)
                 cl = np.argmin(d2, axis=1)  # first min == lowest cluster id
                 if not with_sums:

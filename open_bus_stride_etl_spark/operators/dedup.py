@@ -426,8 +426,11 @@ def _map_local_contract(edges: DataFrame) -> DataFrame:
     pass removes most intra-group redundancy and shortens chains before
     the first large-star shuffle — the rounds that remain operate on the
     contracted graph. Correctness: the emitted star preserves the node
-    set (every non-root points at its root; roots appear as targets —
-    a local component has >= 2 nodes, so every root is referenced) and
+    set (every non-root points at its root; roots of >= 2-node local
+    components appear as targets; a node seen ONLY in self-loop edges —
+    possible when the caller passes input_simple=True on a non-simple
+    graph — is preserved as an explicit (u, u) row rather than silently
+    dropped, matching _local_cc_finish's us|vs node tracking) and
     the component partition (nodes sharing a local root were connected;
     cross-partition connectivity survives because both endpoints map
     into their local roots, which remain connected through the nodes'
@@ -438,6 +441,7 @@ def _map_local_contract(edges: DataFrame) -> DataFrame:
 
     def per_partition(batches):
         parent: dict = {}
+        seen: set = set()
 
         def find(x):
             r = x
@@ -449,16 +453,30 @@ def _map_local_contract(edges: DataFrame) -> DataFrame:
 
         for pdf in batches:
             for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
-                ru, rv = find(int(u)), find(int(v))
+                u, v = int(u), int(v)
+                seen.add(u)
+                seen.add(v)
+                ru, rv = find(u), find(v)
                 if ru != rv:
                     if rv < ru:
                         ru, rv = rv, ru
                     parent[rv] = ru
-        if parent:
-            nodes = list(parent.keys())
-            yield pd.DataFrame(
-                {"u": nodes, "v": [find(x) for x in nodes]}, dtype="int64"
-            )
+        if seen:
+            us, vs = [], []
+            referenced: set = set()
+            for x in seen:
+                r = find(x)
+                if x != r:
+                    us.append(x)
+                    vs.append(r)
+                    referenced.add(r)
+            # self-loop-only nodes (find never united them): keep their
+            # singleton component as an explicit (u, u) row
+            for x in seen:
+                if find(x) == x and x not in referenced:
+                    us.append(x)
+                    vs.append(x)
+            yield pd.DataFrame({"u": us, "v": vs}, dtype="int64")
 
     return edges.mapInPandas(per_partition, schema="u long, v long")
 

@@ -246,6 +246,11 @@ def llm_ann_query(
     q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["_qq"] for r in q_rows], dtype=np.float64)
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    # same zero-norm guard as c_norm: a zero query embedding would make
+    # cos_qc a NaN row and the argsort probe-cell selection arbitrary;
+    # with norm pinned to 1 the row is all-zero cos -> deterministic
+    # lowest-cluster-id probes (stable argsort)
+    q_norm[q_norm == 0] = 1.0
     cos_qc = (q_mat @ c_mat.T) / (q_norm[:, None] * c_norm[None, :])
     # n_probe nearest cells per query, ties to the lowest cluster id
     probe = np.argsort(-cos_qc, axis=1, kind="stable")[:, :n_probe]

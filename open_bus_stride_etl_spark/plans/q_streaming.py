@@ -12,6 +12,7 @@ comparison is exact.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import tempfile
@@ -144,8 +145,11 @@ def _run_complete(
             )
             _await_or_raise(q)
         out = spark.table(name).localCheckpoint(eager=True)
-        spark.catalog.dropTempView(name)
     finally:
+        # in finally: a TimeoutError from _await_or_raise must not leave
+        # the memory-sink view pinning its rows for the session lifetime
+        with contextlib.suppress(Exception):
+            spark.catalog.dropTempView(name)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(src_dir, ignore_errors=True)
     return out
@@ -487,14 +491,29 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dropDuplicates`` grows state forever; the batch incremental path
     is dedup_incremental's anti-join against the seen-index). Ingest
     time is synthesized deterministically from doc_id (the bounded test
-    table has no ingest column); the whole bounded run spans well under
-    the 1h watermark, so append mode emits exactly the distinct
-    fingerprint set — hash-matching the batch SELECT DISTINCT oracle.
-    Which physical row survives per fingerprint is arrival-order
-    dependent, so only the KEY column is emitted (deterministic by
-    construction); survivor election on payload is the batch twin's
-    job (min doc_id = keeper)."""
+    table has no ingest column), so the synthetic event-time span is
+    exactly max(doc_id) seconds — and the oracle-exactness invariant
+    (append mode emits exactly the distinct fingerprint set) requires
+    that NO fingerprint's state is evicted mid-run, i.e. the watermark
+    delay must cover the whole span. Rather than asserting the span is
+    "well under 1h" (false beyond 3600 docs — a multi-file source or
+    trigger split would silently re-emit duplicates >delay apart), the
+    delay is DERIVED from the data like streaming_ride_tracker's: one
+    cheap max(doc_id) over the batch table, +1h margin, floor 1h. At
+    production scale the delay is the ingest-lateness bound instead,
+    and re-emitting a fingerprint last seen beyond it is the documented
+    state/recall trade. Which physical row survives per fingerprint is
+    arrival-order dependent, so only the KEY column is emitted
+    (deterministic by construction); survivor election on payload is
+    the batch twin's job (min doc_id = keeper)."""
     from ..operators.text import prefix_fingerprint  # noqa: PLC0415
+    from ..sources.lake import load_table  # noqa: PLC0415
+
+    span_s = (
+        load_table(spark, sf_dir, "documents").agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+        or 0
+    )
+    wm_hours = max(1, int(span_s) // 3600 + 2)
 
     raw, src_dir = _table_stream(spark, sf_dir, "documents")
     d = raw.select(
@@ -502,7 +521,7 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("ingest_ts"),
     )
     deduped = (
-        d.withWatermark("ingest_ts", "1 hour")
+        d.withWatermark("ingest_ts", f"{wm_hours} hours")
         .dropDuplicatesWithinWatermark(["fingerprint"])
         .select("fingerprint")
     )

@@ -417,6 +417,30 @@ def test_connected_components_matches_union_find(spark, edges, local_finish, pre
     assert got == expected
 
 
+def test_precontract_preserves_self_loop_only_nodes(spark):
+    """r5 ADVICE fix: with input_simple=True (caller skips the defensive
+    self-loop filter) a node appearing ONLY in self-loop edges must not
+    be silently dropped by the map-local precontract pass — precontract
+    must be a transparent optimization, so precontract=True/False give
+    identical components on the same (off-contract) input."""
+    pairs = spark.createDataFrame(
+        [Row(doc_a=1, doc_b=2), Row(doc_a=7, doc_b=7), Row(doc_a=2, doc_b=3)],
+        "doc_a long, doc_b long",
+    )
+    results = []
+    for pre in (False, True):
+        got = {
+            r["doc_id"]: r["component_id"]
+            for r in dd.connected_components(
+                pairs, input_simple=True, local_finish_edges=50_000, precontract=pre
+            ).collect()
+        }
+        results.append(got)
+    assert results[0] == results[1]
+    assert results[0][7] == 7  # singleton survives
+    assert results[0][1] == results[0][2] == results[0][3] == 1
+
+
 @pytest.mark.parametrize("local_finish", [0, 50_000])
 def test_connected_components_empty_and_self_loops(spark, local_finish):
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
