@@ -2,12 +2,17 @@
 columns with typed metadata, processed by Arrow-batched pandas stages
 (`mapInPandas`).
 
-The decode/feature-extract step is STUBBED (no image/audio libraries in
-this environment): ``fake_decode_stats`` computes deterministic
-byte-level statistics standing in for a real decoder, and
-``decode_image`` raises NotImplementedError at the exact point a real
-decoder (PIL/ffmpeg) would plug in. Everything Spark-side — schema,
-batching, partitioning, UDF signature — is real and tested.
+``decode_image`` is a REAL pure-stdlib PNG decoder (zlib inflate +
+struct chunk walk + per-scanline unfilter incl. Paeth, r5): 8-bit
+gray/RGB/palette/gray-alpha/RGBA, non-interlaced — the subset a
+training pipeline's thumbnails overwhelmingly use. It exists to prove
+the decode stage END TO END (``decode_image_stats`` runs it inside the
+same Arrow-batched mapInPandas shape as every other stage); a
+production deployment swaps in a C-backed decoder (PIL/libvips) behind
+the identical signature for throughput, not correctness.
+``fake_decode_stats`` (deterministic byte-level statistics) remains the
+cross-engine ORACLE twin — DuckDB cannot decode PNG, so the hash-gated
+query keeps using it.
 
 Scale notes: binary payloads ride the Arrow stream in batches
 (spark.sql.execution.arrow.maxRecordsPerBatch bounds executor memory);
@@ -49,11 +54,226 @@ DECODE_STATS_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """Real decoder plug point (PIL.Image.open / torchvision)."""
-    raise NotImplementedError(
-        "image decoding requires an image library not present in this "
-        "environment; use fake_decode_stats for the pipeline plumbing"
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (at bit depth 8: bytes per pixel)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_image(payload: bytes):
+    """Decode a PNG payload with the stdlib only (``zlib`` + ``struct``)
+    and return a ``numpy`` uint8 array of shape ``(height, width,
+    channels)`` (palette images are expanded through PLTE to RGB).
+
+    Supported: bit depth 8, color types 0/2/3/4/6, non-interlaced —
+    the common training-thumbnail subset. Raises ``ValueError`` for
+    non-PNG payloads or unsupported variants (callers treat that as a
+    decode failure row, exactly like a corrupt file in a real crawl).
+
+    This is the correctness-reference decoder that retires the r1-r4
+    NotImplementedError stub; swap a C-backed library here for
+    production throughput — the signature and the Arrow stage around it
+    (``decode_image_stats``) do not change."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if payload is None or len(payload) < 8 or not bytes(payload[:8]) == _PNG_SIG:
+        raise ValueError("decode_image: payload is not a PNG (bad signature)")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    n = len(payload)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = bytes(payload[pos + 4 : pos + 8])
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # data + 4-byte CRC (CRCs not verified)
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = bytes(data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("decode_image: missing IHDR or IDAT chunk")
+    width, height, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise ValueError(
+            f"decode_image: unsupported PNG variant (depth={depth}, "
+            f"color_type={color}, interlace={interlace}); supported: "
+            "8-bit gray/RGB/palette/gray-alpha/RGBA, non-interlaced"
+        )
+    bpp = _PNG_CHANNELS[color]
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("decode_image: IDAT length does not match dimensions")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters = raw[:, 0]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        f = int(filters[y])
+        cur = raw[y, 1:].astype(np.int32)
+        if f == 0:  # None
+            line = cur
+        elif f == 1:  # Sub — sequential in x, loop over pixels
+            line = cur.copy()
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif f == 2:  # Up — vectorized
+            line = (cur + prev) & 0xFF
+        elif f == 3:  # Average
+            line = cur.copy()
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            line = cur.copy()
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                line[x] = (line[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"decode_image: unknown PNG filter type {f}")
+        out[y] = line.astype(np.uint8)
+        prev = line
+    px = out.reshape(height, width, bpp)
+    if color == 3:  # palette -> RGB
+        if plte is None:
+            raise ValueError("decode_image: palette image without PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        px = pal[px[:, :, 0]]
+    return px
+
+
+def encode_png(px, color_type: int, filters=None, palette: bytes | None = None) -> bytes:
+    """Minimal stdlib PNG *encoder* (8-bit, non-interlaced): the inverse
+    of ``decode_image``, used by the media sink side of the pipeline
+    (write processed thumbnails back out) and to synthesize
+    deterministic test payloads. ``px`` is a numpy uint8 array
+    ``(h, w, channels)``; ``filters`` selects the per-scanline filter
+    type (default all-0) — rows are forward-filtered so every decoder
+    unfilter branch can be exercised round-trip."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    h, w, ch = px.shape
+    bpp = ch
+    filters = filters if filters is not None else [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for y in range(h):
+        line = px[y].reshape(-1).astype(np.int32)
+        f = filters[y]
+        raw.append(f)
+        if f == 0:
+            enc = line
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), line[:-bpp]])
+            enc = (line - left) & 0xFF
+        elif f == 2:  # Up
+            enc = (line - prev) & 0xFF
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), line[:-bpp]])
+            enc = (line - ((left + prev) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), line[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            enc = (line - pred) & 0xFF
+        else:
+            raise ValueError(f"encode_png: unknown filter type {f}")
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
+
+    out = _PNG_SIG
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+    if palette is not None:
+        out += chunk(b"PLTE", palette)
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+DECODED_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("mean_pixel_milli", T.LongType(), True),
+    ]
+)
+
+
+def decode_image_stats(media: DataFrame) -> DataFrame:
+    """The REAL decode stage: run ``decode_image`` over every payload in
+    the same Arrow-batched ``mapInPandas`` shape as ``fake_decode_stats``
+    and emit per-image pixel statistics (mean pixel value in integer
+    milli-units — deterministic across runs/partitionings). Payloads
+    that fail to decode (non-PNG, unsupported variant, corrupt) become
+    ``decode_ok = false`` rows with NULL stats — a crawl pipeline drops
+    or quarantines them downstream instead of dying mid-job."""
+    import numpy as np  # noqa: PLC0415
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, oks, ws, hs, cs, means = [], [], [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                try:
+                    px = decode_image(b)
+                    oks.append(True)
+                    hs.append(px.shape[0])
+                    ws.append(px.shape[1])
+                    cs.append(px.shape[2])
+                    means.append(
+                        int(round(float(np.mean(px.astype(np.float64))) * 1000.0))
+                    )
+                except Exception:  # noqa: BLE001 - ValueError from the
+                    # decoder plus zlib.error / struct.error from
+                    # truncated payloads: all are "this row didn't decode"
+                    oks.append(False)
+                    ws.append(None)
+                    hs.append(None)
+                    cs.append(None)
+                    means.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "decode_ok": oks,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "n_channels": pd.array(cs, dtype="Int32"),
+                    "mean_pixel_milli": pd.array(means, dtype="Int64"),
+                }
+            )
+
+    return fan_out(media.select("media_id", "payload")).mapInPandas(
+        batches, DECODED_STATS_SCHEMA
     )
 
 

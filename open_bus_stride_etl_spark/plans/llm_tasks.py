@@ -196,39 +196,33 @@ def llm_build_ann_index(
     }
 
 
-@task("llm-ann-query", cadence="daily", k_top=5, n_probe=2, n_queries=16)
-def llm_ann_query(
+def ivf_probe_persisted(
     spark: SparkSession,
-    base_dir: str,
-    index_dir: str | None = None,
+    emb,
+    idx_dir: str,
+    n_queries: int = 16,
     k_top: int = 5,
     n_probe: int = 2,
-    n_queries: int = 16,
-    out_dir: str | None = None,
-    eval_recall: bool = False,
-) -> dict:
-    """Answer a query set against the PERSISTED IVF index (built by
-    llm-build-ann-index) without retraining: queries are coarse-
-    quantized against the loaded centroids driver-side (k x dim ints),
-    each probing its ``n_probe`` nearest cells; the corpus makes ONE
-    mapInPandas pass keyed by its stored cell assignment, scoring each
-    Arrow batch's cell-groups against the probing queries' blocks
-    (similarity.py:_partitioned_probe — only per-batch top-k rows leave
-    the workers). The query set is the ``n_queries`` lowest-id vectors
-    (deterministic, like the oracle-checked ANN queries).
+):
+    """The load-and-probe core of llm_ann_query, reusable as a plain
+    DataFrame transform: read a PERSISTED IVF index (``centroids.parquet``
+    + ``assignments.parquet`` under ``idx_dir``), coarse-quantize the
+    ``n_queries`` lowest-id vectors against the loaded centroids
+    driver-side (k x dim ints), pick each query's ``n_probe`` nearest
+    cells by cosine (ties to the lowest cluster id — stable argsort ==
+    row_number ORDER BY cos DESC, cluster ASC), and score the corpus in
+    ONE mapInPandas pass keyed by its STORED cell assignment
+    (similarity.py:_partitioned_probe). Also exercised under the oracle
+    by plans/q_llm.py:ann_ivf_persisted_topk.
 
-    Scale shape: the assignment join is an equi-join on the 8-byte id;
-    nothing shuffles vectors except the one corpus scan's Arrow
-    batches; raising n_probe trades recall for the number of cell
-    blocks each batch matmuls against."""
+    Returns ``(result_df, meta)`` with ``meta = {"n_queries",
+    "n_probed_cells"}`` (the actual sample/probe sizes, for task
+    metrics)."""
     import numpy as np  # noqa: PLC0415
 
-    configure(spark)
     from ..operators.similarity import _partitioned_probe, quantized_vec  # noqa: PLC0415
 
-    idx = index_dir or f"{base_dir}/ann_index"
-    emb = spark.read.parquet(f"{base_dir}/embeddings.parquet")
-    cent_rows = spark.read.parquet(f"{idx}/centroids.parquet").collect()
+    cent_rows = spark.read.parquet(f"{idx_dir}/centroids.parquet").collect()
     k = 1 + max(r["cluster"] for r in cent_rows)
     dim = max(r["pos"] for r in cent_rows)
     c_mat = np.zeros((k, dim), dtype=np.float64)
@@ -259,7 +253,7 @@ def llm_ann_query(
         sel = (probe == cell).any(axis=1)
         by_cell[int(cell)] = (q_ids[sel], q_mat[sel], q_norm[sel])
 
-    assign = spark.read.parquet(f"{idx}/assignments.parquet")
+    assign = spark.read.parquet(f"{idx_dir}/assignments.parquet")
     cv = (
         emb.select(F.col("vec_id").alias("cand_id"), quantized_vec("embedding").alias("_cq"))
         .join(
@@ -268,16 +262,50 @@ def llm_ann_query(
         )
         .where(F.col("_key").isin([int(c) for c in by_cell]))
     )
-    result = _partitioned_probe(cv, by_cell, k_top)
+    meta = {"n_queries": len(q_rows), "n_probed_cells": len(by_cell)}
+    return _partitioned_probe(cv, by_cell, k_top), meta
+
+
+@task("llm-ann-query", cadence="daily", k_top=5, n_probe=2, n_queries=16)
+def llm_ann_query(
+    spark: SparkSession,
+    base_dir: str,
+    index_dir: str | None = None,
+    k_top: int = 5,
+    n_probe: int = 2,
+    n_queries: int = 16,
+    out_dir: str | None = None,
+    eval_recall: bool = False,
+) -> dict:
+    """Answer a query set against the PERSISTED IVF index (built by
+    llm-build-ann-index) without retraining: queries are coarse-
+    quantized against the loaded centroids driver-side (k x dim ints),
+    each probing its ``n_probe`` nearest cells; the corpus makes ONE
+    mapInPandas pass keyed by its stored cell assignment, scoring each
+    Arrow batch's cell-groups against the probing queries' blocks
+    (similarity.py:_partitioned_probe — only per-batch top-k rows leave
+    the workers). The query set is the ``n_queries`` lowest-id vectors
+    (deterministic, like the oracle-checked ANN queries).
+
+    Scale shape: the assignment join is an equi-join on the 8-byte id;
+    nothing shuffles vectors except the one corpus scan's Arrow
+    batches; raising n_probe trades recall for the number of cell
+    blocks each batch matmuls against."""
+    configure(spark)
+    idx = index_dir or f"{base_dir}/ann_index"
+    emb = spark.read.parquet(f"{base_dir}/embeddings.parquet")
+    result, probe_meta = ivf_probe_persisted(
+        spark, emb, idx, n_queries=n_queries, k_top=k_top, n_probe=n_probe
+    )
     out = out_dir or f"{base_dir}/ann_results"
     result.write.mode("overwrite").parquet(out)
     n_rows = spark.read.parquet(out).count()
     metrics = {
-        "n_queries": len(q_rows),
+        "n_queries": probe_meta["n_queries"],
         "k_top": k_top,
         "n_probe": n_probe,
         "n_result_rows": n_rows,
-        "n_probed_cells": len(by_cell),
+        "n_probed_cells": probe_meta["n_probed_cells"],
         "out_dir": out,
     }
     if eval_recall:

@@ -186,16 +186,6 @@ _SQL_SIMHASH_CAND = """
         ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
     )"""
 
-@query(
-    "simhash_signatures",
-    "WITH " + _SQL_SIMHASH_SIMS + """
-    SELECT doc_id, simhash FROM sims
-    """,
-)
-def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.simhash32(_docs(spark, sf_dir))
-
-
 # ---------------------------------------------------------------------------
 # Dedup: SimHash near-dup pairs (banded hamming join)
 # ---------------------------------------------------------------------------
@@ -300,36 +290,10 @@ _SQL_BUCKET = " + ".join(
     for j in range(8)
 )
 
-@query(
-    "ann_lsh_topk",
-    "WITH " + _SQL_COMP + f""",
-    bk AS (SELECT vec_id, {_SQL_BUCKET} AS bucket FROM embeddings),
-    pairs AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS cand_id
-      FROM bk q JOIN bk c ON q.bucket = c.bucket
-      WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
-    ),
-    dots AS (
-      SELECT p.query_id, p.cand_id, SUM(a.q * b.q) AS dot
-      FROM pairs p
-      JOIN comp a ON a.vec_id = p.query_id
-      JOIN comp b ON b.vec_id = p.cand_id AND b.pos = a.pos
-      GROUP BY 1, 2
-    ),
-    scored AS (
-      SELECT query_id, cand_id, dot / (sqrt(qa.n2) * sqrt(qb.n2)) AS cos
-      FROM dots JOIN n2 qa ON qa.vec_id = query_id JOIN n2 qb ON qb.vec_id = cand_id
-    ),
-    r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
-          FROM scored)
-    SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank, cos FROM r WHERE rank <= 3
-    """,
-)
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 50 == 0)
-    return sim.ann_lsh_topk(emb, queries, k=3)
-
+# Fixed-count deterministic query sample for the recall eval (r5): the
+# production gate (llm_tasks.py:llm_ann_query eval_recall) samples a fixed
+# n_queries; the registered query mirrors it so the eval stays O(corpus).
+_RECALL_EVAL_QUERIES = 100
 
 @query(
     "tokenize_vocab_ids",
@@ -379,10 +343,11 @@ def tokenize_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_recall_eval",
     "WITH " + _SQL_COMP + f""",
+    qsel AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_RECALL_EVAL_QUERIES}),
     edots AS (
       SELECT a.vec_id AS query_id, b.vec_id AS cand_id, SUM(a.q * b.q) AS dot
       FROM comp a JOIN comp b ON a.pos = b.pos
-      WHERE a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+      WHERE a.vec_id IN (SELECT vec_id FROM qsel) AND a.vec_id <> b.vec_id
       GROUP BY 1, 2
     ),
     esc AS (
@@ -396,7 +361,7 @@ def tokenize_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     apairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS cand_id
       FROM bk q JOIN bk c ON q.bucket = c.bucket
-      WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+      WHERE q.vec_id IN (SELECT vec_id FROM qsel) AND q.vec_id <> c.vec_id
     ),
     adots AS (
       SELECT p.query_id, p.cand_id, SUM(a.q * b.q) AS dot
@@ -425,9 +390,18 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline, per query (operators/similarity.py:ann_recall_at_k) —
     the quality gate that decides whether an approximate index may
     replace the exact path, computed entirely in-engine by composing
-    the two top-k operators and one counting join."""
+    the two top-k operators and one counting join.
+
+    The query set is a FIXED-COUNT deterministic sample (the
+    {_RECALL_EVAL_QUERIES} lowest vec_ids — the same shape as the
+    production gate, plans/llm_tasks.py:llm_ann_query eval_recall),
+    not a corpus-proportional slice: a recall estimate needs a bounded
+    sample, and sampling makes the whole eval O(corpus) (one exact
+    scan per fixed query set) instead of O(corpus^2 / p) — the r4
+    22.9x-at-100x SCALE row was exactly the proportional-slice cost,
+    not an engine property."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 50 == 0)
+    queries = emb.orderBy("vec_id").limit(_RECALL_EVAL_QUERIES)
     exact = sim.cosine_topk(emb, queries, k=5)
     ann = sim.ann_lsh_topk(emb, queries, k=5)
     return sim.ann_recall_at_k(exact, ann)
@@ -633,19 +607,61 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(text) AS payload_md5,
            CAST(list_sum(list_transform(range(1, length(text) + 1),
                                         i -> ord(substr(text, i, 1)))) AS DOUBLE)
-             / octet_length(encode(text)) AS mean_byte
+             / octet_length(encode(text)) AS mean_byte,
+           TRUE AS decode_ok,
+           CAST(1 + doc_id % 7 AS INTEGER) AS width,
+           CAST(1 + doc_id % 5 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST((doc_id % 256) * 1000 AS BIGINT) AS mean_pixel_milli
     FROM documents
     """,
 )
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents' text bytes stand in for media payloads; the decode
-    stage is the deterministic fake (operators/multimodal.py) running in
-    mapInPandas — the real Arrow batch path a media pipeline uses."""
+    """TWO decode paths under one oracle. (a) Documents' text bytes
+    stand in for opaque media payloads; the deterministic fake decoder
+    (operators/multimodal.py:fake_decode_stats) computes byte stats in
+    the Arrow mapInPandas shape. (b) NEW r5: the REAL stdlib PNG codec
+    round-trip — each doc synthesizes a deterministic grayscale PNG
+    (width 1 + doc_id%7, height 1 + doc_id%5, all pixels doc_id%256)
+    via operators/multimodal.py:encode_png, then decode_image_stats
+    runs the actual zlib+struct+unfilter decoder over it. The oracle
+    predicts the decoded dimensions and integer pixel mean ANALYTICALLY
+    (pure SQL arithmetic on doc_id — DuckDB never touches a PNG), so a
+    codec bug anywhere in the encode-or-decode chain breaks the value
+    hash. Payload bytes never shuffle: both stats stages are map-local
+    scans; the final stitch is an equi-join of two slim metadata tables
+    on media_id."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from ..operators.multimodal import decode_image_stats, encode_png  # noqa: PLC0415
+
     d = _docs(spark, sf_dir)
     media = d.select(
         F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
     )
-    return fake_decode_stats(media)
+    fake = fake_decode_stats(media)
+
+    def synth(it):
+        for pdf in it:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = [
+                encode_png(
+                    np.full((1 + int(i) % 5, 1 + int(i) % 7, 1), int(i) % 256, dtype=np.uint8),
+                    color_type=0,
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    png_media = d.select("doc_id").mapInPandas(synth, "media_id long, payload binary")
+    real = decode_image_stats(png_media).withColumnRenamed("media_id", "media_id_r")
+    return fake.join(
+        real, fake["media_id"] == real["media_id_r"], "inner"
+    ).select(
+        "media_id", "n_bytes", "payload_md5", "mean_byte",
+        "decode_ok", "width", "height", "n_channels", "mean_pixel_milli",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -774,39 +790,6 @@ def quantile_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "source_balance_stats",
-    """
-    WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
-    m AS (SELECT MIN(n_docs) AS min_n FROM counts),
-    rates AS (
-      SELECT source, n_docs,
-             CAST((min_n * 10000) // n_docs AS BIGINT) AS rate_bp
-      FROM counts, m
-    ),
-    kept AS (
-      SELECT d.source, COUNT(*) AS n_kept
-      FROM documents d JOIN rates r ON d.source = r.source
-      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 10)) AS BIGINT) % 10000
-            < r.rate_bp
-      GROUP BY d.source
-    )
-    SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs, r.rate_bp,
-           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
-    FROM rates r LEFT JOIN kept k ON k.source = r.source
-    """,
-)
-def source_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uniform source mixing: every source downsampled to ~the smallest
-    source via a deterministic md5-bucket keep rate — membership is a
-    pure function of doc_id (reproducible across engines, reruns and
-    partitionings), and the filter is map-local after a broadcast of the
-    tiny per-source rate table. No per-source rank/quota sort."""
-    from ..operators import curation as cu  # noqa: PLC0415
-
-    return cu.balance_sources(_docs(spark, sf_dir))
-
-
-@query(
     "balanced_corpus",
     """
     WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
@@ -822,10 +805,16 @@ def source_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def balanced_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The balanced corpus ITSELF (operators/curation.py:balanced_docs) —
-    source_balance_stats reports the selection; this query returns the
-    surviving rows, the composable stage a real pipeline feeds into the
-    next operator. Same broadcast rate table, same md5 membership."""
+    """The balanced corpus ITSELF (operators/curation.py:balanced_docs):
+    the surviving rows after uniform source mixing — every source
+    downsampled to ~the smallest via a deterministic md5-bucket keep
+    rate (membership a pure function of doc_id, so reproducible across
+    engines/reruns/partitionings; the filter is map-local after a
+    broadcast of the tiny per-source rate table, no per-source
+    rank/quota sort). The per-source selection REPORT
+    (operators/curation.py:balance_sources) shares this exact rate
+    table + membership core — its standalone query was merged into this
+    one in the r5 registry consolidation."""
     from ..operators import curation as cu  # noqa: PLC0415
 
     return cu.balanced_docs(_docs(spark, sf_dir)).select(
@@ -908,35 +897,6 @@ def training_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bucket_sql(key_expr: str, seed: str = "") -> str:
     return (
         f"CAST(('0x' || substr(md5({key_expr} || '{seed}'), 1, 10)) AS BIGINT) % 100"
-    )
-
-
-@query(
-    "sample_10pct_stats",
-    f"""
-    SELECT event_type,
-           COUNT(*) AS n_rows,
-           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
-    FROM events
-    WHERE {_bucket_sql("CAST(event_id AS VARCHAR)")} < 10
-    GROUP BY event_type
-    """,
-)
-def sample_10pct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A reproducible 10% carve-out: membership is a pure function of
-    the row key, so the sample is stable across reruns, engines, and
-    repartitionings — the property RNG `df.sample()` cannot give a
-    training-data pipeline."""
-    from ..operators import sampling as sp
-
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        sp.deterministic_sample(ev, "event_id", 10)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
-        )
     )
 
 
@@ -1322,6 +1282,90 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cl.kmeans_assignments(
         load_table(spark, sf_dir, "embeddings"), k=8, iters=3
     )
+
+
+# ---------------------------------------------------------------------------
+# Similarity: persisted-IVF index lifecycle (train -> write -> reload -> probe)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_ivf_persisted_topk",
+    _sql_kmeans_ctes(k=8, iters=3)
+    + """,
+    cn2 AS (SELECT cluster, SUM(cq * cq) AS n2 FROM c2 GROUP BY cluster),
+    qsel AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 100),
+    qc AS (
+      SELECT q.vec_id AS query_id, c.cluster, SUM(p.q * c.cq) AS dot
+      FROM qsel q
+      JOIN comp p ON p.vec_id = q.vec_id
+      JOIN c2 c ON c.pos = p.pos
+      GROUP BY 1, 2
+    ),
+    qcos AS (
+      SELECT qc.query_id, qc.cluster, qc.dot / (sqrt(qn.n2) * sqrt(cn.n2)) AS cos
+      FROM qc JOIN n2 qn ON qn.vec_id = qc.query_id JOIN cn2 cn ON cn.cluster = qc.cluster
+    ),
+    pcell AS (
+      SELECT query_id, cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cluster) AS rn
+        FROM qcos) WHERE rn <= 2
+    ),
+    pairs AS (
+      SELECT p.query_id, a.vec_id AS cand_id
+      FROM pcell p JOIN a3 a ON a.cluster = p.cluster
+      WHERE a.vec_id <> p.query_id
+    ),
+    dots AS (
+      SELECT p.query_id, p.cand_id,
+             (SELECT SUM(CAST(ROUND(CAST(ax AS DOUBLE) * 1000000) AS BIGINT)
+                         * CAST(ROUND(CAST(bx AS DOUBLE) * 1000000) AS BIGINT))
+              FROM (SELECT unnest(ea.embedding) AS ax, unnest(eb.embedding) AS bx)) AS dot
+      FROM pairs p
+      JOIN embeddings ea ON ea.vec_id = p.query_id
+      JOIN embeddings eb ON eb.vec_id = p.cand_id
+    ),
+    sc AS (
+      SELECT query_id, cand_id, dot / (sqrt(qa.n2) * sqrt(qb.n2)) AS cos
+      FROM dots JOIN n2 qa ON qa.vec_id = query_id JOIN n2 qb ON qb.vec_id = cand_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+          FROM sc)
+    SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank, cos FROM r WHERE rank <= 5
+    """,
+)
+def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full persisted-IVF index LIFECYCLE under the oracle (r4 built
+    it as pytest-only tasks; this puts the load-and-probe code on the
+    hard gate): train k-means centroids (k=8, 3 Lloyd rounds —
+    operators/clustering.py:kmeans_fit, same integer-exact contract as
+    kmeans_assign), WRITE centroids + assignments as parquet, RELOAD
+    them from disk, and answer the 100 lowest-id queries via
+    plans/llm_tasks.py:ivf_probe_persisted (n_probe=2 nearest cells by
+    cosine, one mapInPandas corpus pass keyed by the STORED
+    assignment). The oracle unrolls the same Lloyd rounds (shared
+    _sql_kmeans_ctes) and replays the cosine probe-cell ranking and
+    exact per-pair dots; the round-trip through parquet is exactly what
+    the production llm-build-ann-index / llm-ann-query task pair does.
+    The result is localCheckpoint-ed so it stays valid after the temp
+    index dir is deleted (self-contained-results rule)."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ..operators import clustering as cl  # noqa: PLC0415
+    from .llm_tasks import ivf_probe_persisted  # noqa: PLC0415
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        assign, cents = cl.kmeans_fit(emb, k=8, iters=3)
+        cents.write.mode("overwrite").parquet(f"{tmp}/centroids.parquet")
+        assign.write.mode("overwrite").parquet(f"{tmp}/assignments.parquet")
+        res, _meta = ivf_probe_persisted(
+            spark, emb, tmp, n_queries=100, k_top=5, n_probe=2
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @query(

@@ -299,22 +299,9 @@ def window_id_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- A9: per-hour min/max/count (packagers/siri.py:460-482 hour report) ---
-
-@query(
-    "hourly_minmax",
-    """
-    SELECT date_trunc('hour', ts) AS hour,
-           MIN(ts) AS min_ts, MAX(ts) AS max_ts, COUNT(*) AS n
-    FROM events GROUP BY date_trunc('hour', ts)
-    """,
-)
-def hourly_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
-        F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"), F.count(F.lit(1)).alias("n")
-    )
-
+# --- A9: per-hour min/max/count lives in q_streaming.streaming_hourly_events
+#     (same oracle; the batch twin hourly_minmax was retired in the r5
+#     registry consolidation) ---
 
 # --- A11/U2: distinct set per group (siri/common.py:29 route-id sets) -----
 
@@ -600,40 +587,3 @@ def moving_avg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "session_window_events",
-    """
-    WITH e AS (SELECT user_id, ts FROM events WHERE ts IS NOT NULL AND user_id % 25 = 0),
-    o AS (SELECT user_id, ts,
-                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts FROM e),
-    m AS (SELECT user_id, ts,
-                 CASE WHEN pts IS NULL OR ts - pts > INTERVAL 30 MINUTE
-                      THEN 1 ELSE 0 END AS brk FROM o),
-    g AS (SELECT user_id, ts,
-                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS UNBOUNDED PRECEDING) AS grp FROM m)
-    SELECT user_id,
-           MIN(ts) AS session_start,
-           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
-           COUNT(*) AS n_events
-    FROM g GROUP BY user_id, grp
-    """,
-)
-def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native session windows (30-minute inactivity gap) — Spark's
-    built-in sessionization vs the oracle's gaps-and-islands CTE. The
-    reference detected group breaks procedurally in Python
-    (update_ride_stops_vehicle_locations.py:91-101, SURVEY.md §2.5 W2);
-    session_window is the declarative, shuffle-once form and works
-    unchanged under readStream with a watermark."""
-    ev = load_table(spark, sf_dir, "events").where(
-        F.col("ts").isNotNull() & (F.col("user_id") % 25 == 0)
-    )
-    return ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id").agg(
-        F.count(F.lit(1)).alias("n_events")
-    ).select(
-        "user_id",
-        F.col("w.start").alias("session_start"),
-        F.col("w.end").alias("session_end"),
-        "n_events",
-    )

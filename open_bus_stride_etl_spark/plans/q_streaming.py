@@ -69,22 +69,25 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
 # (290 MB of events through 8 state tasks: 27.5 s, a 10x x100 ratio
 # where the r3 32-wide run scaled at ~2x). So the width follows the
 # data: one state partition per ~8 MB of bounded source, clamped to
-# [8, 32] — sf0.1 (2 MB) keeps the trimmed 8, sf10 (290 MB) gets the
-# session's full 32. Production streams size this to the cluster
-# (state-store count is fixed at first checkpoint); the scope restores
-# the caller's value in `finally`.
+# [8, ceiling] where the CEILING IS THE SESSION'S defaultParallelism
+# (cluster-correct by construction — on local[32] that is the same 32
+# as before; on a 1000-core cluster the width can grow to the cores
+# available rather than a box constant). Production streams size this
+# to the cluster (state-store count is fixed at first checkpoint); the
+# scope restores the caller's value in `finally`.
 _STREAM_PART_BYTES = 8 << 20
-_STREAM_PART_MIN, _STREAM_PART_MAX = 8, 32
+_STREAM_PART_MIN = 8
 
 
-def _stream_partitions(src_dir: str) -> int:
+def _stream_partitions(src_dir: str, spark: SparkSession) -> int:
     size = 0
     for name in os.listdir(src_dir):
         try:
             size += os.path.getsize(os.path.join(src_dir, name))  # follows symlinks
         except OSError:
             pass
-    return max(_STREAM_PART_MIN, min(_STREAM_PART_MAX, -(-size // _STREAM_PART_BYTES)))
+    ceiling = max(_STREAM_PART_MIN, spark.sparkContext.defaultParallelism)
+    return max(_STREAM_PART_MIN, min(ceiling, -(-size // _STREAM_PART_BYTES)))
 
 
 class _stream_shuffle_scope:
@@ -98,7 +101,7 @@ class _stream_shuffle_scope:
     def __enter__(self):
         self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
         self.spark.conf.set(
-            "spark.sql.shuffle.partitions", str(_stream_partitions(self.src_dir))
+            "spark.sql.shuffle.partitions", str(_stream_partitions(self.src_dir, self.spark))
         )
 
     def __exit__(self, *exc):
@@ -250,8 +253,10 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The W2 sessionization (30-minute inactivity gap) as a REAL
     Structured Streaming job: watermarked session_window aggregation
     over readStream, complete mode over the bounded source, hash-checked
-    against the same gaps-and-islands CTE oracle as the batch
-    `session_window_events` twin. This is the stateful-merge operator
+    against a gaps-and-islands CTE oracle (the batch session_window
+    twin carried the same oracle until the r5 registry consolidation
+    retired it; `F.session_window` itself works identically in batch).
+    This is the stateful-merge operator
     the batch variant only implies — streaming session windows merge
     adjacent per-batch sessions in the state store, which is what a
     continuous GPS/event feed needs at scale."""

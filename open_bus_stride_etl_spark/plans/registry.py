@@ -250,62 +250,58 @@ def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ≥1 driver row across rounds.
 DRIVER_WINDOW = 50
 _DEMOTE_LAST = [
-    "first_last_by_seq",  # A5 by-sequence twin of the same min_by/max_by operator
-    "window_id_bounds",  # P7/A3 min/max/count; overlaps hourly_minmax + keyset docs
-    "date_window_inclusive",
-    "null_marker_todo",
-    "like_prefix",
-    "enum_neq_counts",
-    "bbox_filter",
-    "multikey_join",
-    "exact_ts_join",
-    "running_min",
-    "topk_recent",
-    "time_window_halfopen",  # r3 rotation: double-green r1+r2
-    "customers_with_open_orders",  # r3 rotation: double-green r1+r2
-    "sort_nulls_last_topk",  # r3 rotation: double-green r1+r2
-    "top2_per_user",  # r3 rotation: double-green r1+r2; slot freed for balanced_corpus (new)
-    # r3 additions: three double-green (r1+r2) queries demoted to free
-    # window slots for the new corpus-stats queries (text_repetition,
-    # term_df_top20, decontam_overlap), which need their first verdict.
-    "hourly_minmax",  # A9; green r1+r2
-    "distinct_set_per_day",  # A11; green r1+r2
-    "customers_without_orders",  # J9 anti-join; green r1+r2 (its J10 twin is also demoted)
-    "canonical_export",  # F10 canonicalization; green r1+r2; slot freed for kmeans_assign (new)
-    # Late-r3 rotation: the six new-in-r3 queries (pii_redaction_stats,
-    # dedup_incremental, boilerplate_ngrams, semdedup_pairs,
-    # shared_span_pairs, streaming_session_windows) were promoted into
-    # the window for their FIRST driver verdict; the six slots came from
-    # these r1+r2 double-green queries whose operator coverage is
-    # redundantly held in-window (banded_priority_match covers the band
-    # family; content_hash stays in-window — it was r1-red, only
-    # single-green).
+    # --- r3 rotations: r1+r2 double-green queries whose operator
+    # coverage is redundantly held in-window (see COVERED_BY) ---
+    "time_window_halfopen",
+    "customers_with_open_orders",
+    "sort_nulls_last_topk",
+    "top2_per_user",
+    "distinct_set_per_day",
+    "customers_without_orders",
+    "canonical_export",
     "left_band_join",
     "completeness_ratio",
     "json_extract_filter",
     "ledger_missing_dates",
     "rollup_revenue",
-    "session_window_events",
-    # Round-4 rotation (VERDICT r3 item 1): the seven late-r3 queries
-    # (epoch_upsample_mix, training_shard_order, streaming_ride_tracker,
-    # ann_recall_eval, tokenize_vocab_ids, streaming_enriched_events,
-    # streaming_click_purchase_join) were promoted into the window for
-    # their FIRST driver verdict. The slots came from these r3-green
-    # queries whose operator families stay redundantly covered in-window
-    # (coverage map in COVERAGE column below; every demoted query keeps
-    # its local check_oracle gate):
-    "dedup_exact_groups",  # d3-green; exact-fingerprint family in-window via dedup_incremental
-    "simhash_signatures",  # d3-green; covered-by dedup_simhash_hamming (same signature stage)
-    "sample_10pct_stats",  # d3-green; md5-membership family in-window via reservoir_per_user
-    "stratified_sample_counts",  # d3-green; same md5-bucket membership core as reservoir_per_user
-    "doc_chunks",  # d3-green; chunking family in-window via packed_batches
-    "lang_id",  # d3-green; pure-column text family in-window via text_quality
-    "doc_fingerprints",  # d3-green; rolling-hash covered by text_quality + content_hash
-    "source_balance_stats",  # d3-green; covered-by balanced_corpus (same broadcast rate table)
-    # Slot freed for streaming_dedup_exact (new in r4):
-    "dedup_ngram_jaccard",  # green r1-r3; exact-Jaccard scoring is a stage of dedup_minhash_lsh
-    # Slot freed for streaming_hourly_distinct_users (new in r4):
-    "ann_lsh_topk",  # green d1-d3; strictly generalized by in-window ann_lsh_multiprobe_topk
+    # --- r4 rotation (VERDICT r3 item 1): r3-green queries whose
+    # families stay redundantly covered in-window ---
+    "dedup_exact_groups",
+    "stratified_sample_counts",
+    "doc_chunks",
+    "lang_id",
+    "doc_fingerprints",
+    "dedup_ngram_jaccard",
+    # --- Round-5 rotation (VERDICT r4 item 1): re-verification. The 11
+    # tail queries whose ONLY driver-green rows dated to r1 (verified
+    # against a codebase two major refactors ago) were promoted back
+    # into the window: first_last_by_seq, window_id_bounds,
+    # date_window_inclusive, null_marker_todo, like_prefix,
+    # enum_neq_counts, bbox_filter, multikey_join, exact_ts_join,
+    # running_min, topk_recent. Six true-twin tail queries that added
+    # no distinct operator coverage were RETIRED outright (VERDICT r4
+    # item 7): simhash_signatures (⊂ dedup_simhash_hamming),
+    # ann_lsh_topk (⊂ ann_lsh_multiprobe_topk), source_balance_stats
+    # (⊂ balanced_corpus), session_window_events (same oracle as
+    # streaming_session_windows), hourly_minmax (same oracle as
+    # streaming_hourly_events), sample_10pct_stats (same md5-bucket
+    # membership as stratified_sample_counts / balanced_corpus).
+    # The remaining slots (incl. one for the new
+    # ann_ivf_persisted_topk) came from these driver-green queries —
+    # r4's freshly-verified one-shots plus heavily-verified (3-4x
+    # green) queries with clear in-window family twins:
+    "geodesic_agreement",  # d4-green; geo-distance family via nearest_point_per_user
+    "tokenize_vocab_ids",  # d4-green; tokenize/DF-head stage shared with term_df_top20
+    "epoch_upsample_mix",  # d4-green; md5-bucket membership + broadcast rates via balanced_corpus
+    "training_shard_order",  # d4-green; sharded bucket-then-rank via packed_batches
+    "streaming_ride_tracker",  # d4-green; first/last endpoints oracle via streaming_user_first_last
+    "streaming_enriched_events",  # d4-green; streaming-join family via streaming_click_purchase_join
+    "streaming_hourly_distinct_users",  # d4-green; per-hour windowed agg via streaming_hourly_events
+    "group_day_type",  # d1-d4 quadruple-green; grouped money agg via pricing_summary
+    "computed_key_join",  # d1-d4 quadruple-green; computed/multi-key join via code_date_dim_join
+    "moving_avg_frame",  # d1-d4 quadruple-green; window frame agg via running_min (promoted)
+    "cosine_topk",  # d1-d4 quadruple-green; exact path runs inside ann_recall_eval
+    "dedup_embedding_cosine",  # d2-d4 triple-green; blocked-matmul near-dup via semdedup_pairs
 ]
 
 # Auditable coverage ledger (VERDICT r3 item 8): every demoted query
@@ -317,22 +313,10 @@ _DEMOTE_LAST = [
 # local check_oracle gate every round and has >= 1 driver-green row in
 # some past round (the rotation policy above).
 COVERED_BY = {
-    "first_last_by_seq": "first_last_durations",  # same min_by/max_by operator
-    "window_id_bounds": "streaming_hourly_events",  # min/max/count aggregate shape
-    "date_window_inclusive": "code_date_dim_join",  # date-keyed predicate
-    "null_marker_todo": "first_last_durations",  # IS NULL handling / NULL ordering
-    "like_prefix": "text_quality",  # string-predicate family
-    "enum_neq_counts": "pricing_summary",  # conditional counts over an enum filter
-    "bbox_filter": "nearest_point_per_user",  # lat/lon range predicates
-    "multikey_join": "code_date_dim_join",  # multi-key equi-join
-    "exact_ts_join": "banded_priority_match",  # timestamp-keyed join family
-    "running_min": "moving_avg_frame",  # running window frame aggregate
-    "topk_recent": "moving_avg_frame",  # ordered window over ts
     "time_window_halfopen": "streaming_hourly_events",  # half-open ts predicate on events
     "customers_with_open_orders": "dedup_incremental",  # semi/anti-join pair
     "sort_nulls_last_topk": "first_last_durations",  # NULLS LAST ordering
     "top2_per_user": "session_gaps",  # partitioned window per group
-    "hourly_minmax": "streaming_hourly_events",  # identical per-hour min/max
     "distinct_set_per_day": "term_df_top20",  # distinct accumulation per group
     "customers_without_orders": "dedup_incremental",  # anti-join
     "canonical_export": "content_hash",  # same canonicalization stage
@@ -341,17 +325,25 @@ COVERED_BY = {
     "json_extract_filter": "ts_parse_roundtrip",  # scalar-function carrier family
     "ledger_missing_dates": "dedup_incremental",  # anti-join against an index
     "rollup_revenue": "pricing_summary",  # grouped money aggregate
-    "session_window_events": "streaming_session_windows",  # same oracle, streaming twin
     "dedup_exact_groups": "dedup_incremental",  # exact-fingerprint family
-    "simhash_signatures": "dedup_simhash_hamming",  # same signature stage
-    "sample_10pct_stats": "reservoir_per_user",  # md5-membership sampling family
     "stratified_sample_counts": "reservoir_per_user",  # md5-bucket membership core
     "doc_chunks": "packed_batches",  # chunking family
     "lang_id": "text_quality",  # pure-column text family
     "doc_fingerprints": "content_hash",  # md5/rolling-hash fingerprints
-    "source_balance_stats": "balanced_corpus",  # same broadcast rate table
     "dedup_ngram_jaccard": "dedup_minhash_lsh",  # candidate-pair Jaccard is a stage of the LSH path
-    "ann_lsh_topk": "ann_lsh_multiprobe_topk",  # multiprobe strictly generalizes the base probe
+    # r5 demotions:
+    "geodesic_agreement": "nearest_point_per_user",  # geo-distance function family
+    "tokenize_vocab_ids": "term_df_top20",  # shared tokenize + DF-head stage
+    "epoch_upsample_mix": "balanced_corpus",  # md5-bucket membership + broadcast rate table
+    "training_shard_order": "packed_batches",  # sharded bucket-then-rank ordering
+    "streaming_ride_tracker": "streaming_user_first_last",  # same first/last endpoints oracle
+    "streaming_enriched_events": "streaming_click_purchase_join",  # streaming-join family
+    "streaming_hourly_distinct_users": "streaming_hourly_events",  # per-hour windowed agg
+    "group_day_type": "pricing_summary",  # grouped conditional/money aggregate
+    "computed_key_join": "code_date_dim_join",  # computed/multi-key equi-join
+    "moving_avg_frame": "running_min",  # running window frame aggregate
+    "cosine_topk": "ann_recall_eval",  # runs the exact cosine baseline internally
+    "dedup_embedding_cosine": "semdedup_pairs",  # blocked-matmul embedding near-dup
 }
 
 

@@ -135,8 +135,84 @@ def test_multimodal_fake_decode_and_stub(spark):
     assert out[1]["payload_md5"] == "900150983cd24fb0d6963f7d28e17f72"
     assert abs(out[1]["mean_byte"] - (97 + 98 + 99) / 3) < 1e-9
     assert out[2]["n_bytes"] is None
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_image(b"\x89PNG")  # truncated signature
+
+
+from open_bus_stride_etl_spark.operators.multimodal import encode_png as _encode_png
+
+
+@pytest.mark.parametrize("color_type,ch", [(0, 1), (2, 3), (4, 2), (6, 4)])
+def test_decode_image_roundtrip_all_filters(color_type, ch):
+    """Every PNG filter type (None/Sub/Up/Average/Paeth) and every
+    supported color type round-trips bit-exactly through the stdlib
+    decoder."""
+    import numpy as np
+
+    rng = np.random.default_rng(42 + color_type)
+    px = rng.integers(0, 256, size=(5, 7, ch), dtype=np.uint8)
+    payload = _encode_png(px, color_type, filters=[0, 1, 2, 3, 4])
+    got = decode_image(payload)
+    assert got.shape == (5, 7, ch)
+    assert (got == px).all()
+
+
+def test_decode_image_palette_and_errors():
+    import numpy as np
+
+    idx = np.array([[[0], [1]], [[2], [0]]], dtype=np.uint8)  # 2x2 indices
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    payload = _encode_png(idx, 3, palette=palette)
+    got = decode_image(payload)
+    assert got.shape == (2, 2, 3)
+    assert got[0, 0].tolist() == [255, 0, 0]
+    assert got[0, 1].tolist() == [0, 255, 0]
+    assert got[1, 0].tolist() == [0, 0, 255]
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_image(b"JFIF not a png")
+    # 16-bit depth is unsupported and must fail loudly, not garble
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
+
+    deep = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_image(deep)
+
+
+def test_decode_image_stats_spark_stage(spark):
+    """The real decoder runs end-to-end inside the Arrow mapInPandas
+    stage: valid PNGs yield dimensions + deterministic integer pixel
+    means; corrupt/non-PNG payloads become decode_ok=false rows."""
+    import numpy as np
+
+    from open_bus_stride_etl_spark.operators import multimodal as mm
+
+    g = np.full((4, 6, 1), 100, dtype=np.uint8)  # uniform gray: mean 100.000
+    rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+    rgb[..., 0] = 255  # pure red: mean 255/3 = 85.000
+    rows = [
+        Row(media_id=1, payload=bytearray(_encode_png(g, 0, filters=[0, 1, 2, 3]))),
+        Row(media_id=2, payload=bytearray(_encode_png(rgb, 2))),
+        Row(media_id=3, payload=bytearray(b"definitely not an image")),
+        Row(media_id=4, payload=None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in mm.decode_image_stats(media).collect()}
+    assert out[1]["decode_ok"] and (out[1]["width"], out[1]["height"]) == (6, 4)
+    assert out[1]["n_channels"] == 1 and out[1]["mean_pixel_milli"] == 100000
+    assert out[2]["decode_ok"] and out[2]["n_channels"] == 3
+    assert out[2]["mean_pixel_milli"] == 85000
+    assert not out[3]["decode_ok"] and out[3]["width"] is None
+    assert not out[4]["decode_ok"]
 
 
 def test_frame_sample_plan(spark):
