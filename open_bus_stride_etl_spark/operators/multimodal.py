@@ -302,6 +302,144 @@ def fake_decode_stats(media: DataFrame) -> DataFrame:
     )
 
 
+def decode_audio(payload: bytes):
+    """Decode a RIFF/WAVE PCM payload with the stdlib only (``struct``
+    chunk walk) and return ``(samples, sample_rate)`` where ``samples``
+    is a numpy int32 array of shape ``(n_frames, channels)``.
+
+    Supported: uncompressed PCM (format tag 1), 8-bit unsigned or
+    16-bit signed, any channel count / sample rate — the raw-audio
+    subset a training pipeline's speech clips use. Unknown chunks
+    (LIST, fact, ...) are skipped per the RIFF contract. Raises
+    ``ValueError`` on anything else; callers treat that as a decode
+    failure row. Like ``decode_image``, this is the
+    correctness-reference decoder — production swaps in a C-backed
+    library behind the same signature."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if payload is None or len(payload) < 12 or bytes(payload[:4]) != b"RIFF" or bytes(payload[8:12]) != b"WAVE":
+        raise ValueError("decode_audio: payload is not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    data = None
+    n = len(payload)
+    while pos + 8 <= n:
+        ctype = bytes(payload[pos : pos + 4])
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if ctype == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif ctype == b"data":
+            data = bytes(body)
+    if fmt is None or data is None:
+        raise ValueError("decode_audio: missing fmt or data chunk")
+    audio_fmt, channels, sample_rate, _byte_rate, block_align, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16) or channels < 1:
+        raise ValueError(
+            f"decode_audio: unsupported WAVE variant (format={audio_fmt}, "
+            f"bits={bits}, channels={channels}); supported: PCM 8/16-bit"
+        )
+    width = bits // 8
+    if block_align != channels * width:
+        raise ValueError("decode_audio: block_align does not match fmt")
+    usable = (len(data) // block_align) * block_align
+    raw = np.frombuffer(data[:usable], dtype=np.uint8 if width == 1 else np.dtype("<i2"))
+    if width == 1:
+        samples = raw.astype(np.int32) - 128  # 8-bit WAV is unsigned, center it
+    else:
+        samples = raw.astype(np.int32)
+    return samples.reshape(-1, channels), int(sample_rate)
+
+
+def encode_wav(samples, sample_rate: int, bits: int = 16) -> bytes:
+    """Minimal stdlib WAV *encoder* (PCM): the inverse of
+    ``decode_audio``. ``samples`` is a numpy int array ``(n_frames,
+    channels)`` in the signed range of ``bits``."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if bits not in (8, 16):
+        raise ValueError("encode_wav: only 8/16-bit PCM supported")
+    frames, channels = samples.shape
+    width = bits // 8
+    if bits == 8:
+        body = (samples.astype(np.int32) + 128).clip(0, 255).astype(np.uint8).tobytes()
+    else:
+        body = samples.astype("<i2").tobytes()
+    block_align = channels * width
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, bits
+    )
+    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body)) + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        out += b"\x00"
+    return out
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("n_audio_channels", T.IntegerType(), True),
+        T.StructField("mean_abs_milli", T.LongType(), True),
+    ]
+)
+
+
+def decode_audio_stats(media: DataFrame) -> DataFrame:
+    """The real AUDIO decode stage (twin of ``decode_image_stats``):
+    ``decode_audio`` over every payload in an Arrow-batched
+    ``mapInPandas``, emitting per-clip stats (mean absolute amplitude in
+    integer milli-units). Undecodable payloads become
+    ``decode_ok = false`` rows."""
+    import numpy as np  # noqa: PLC0415
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, oks, srs, ns, cs, means = [], [], [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                try:
+                    samples, sr = decode_audio(b)
+                    oks.append(True)
+                    srs.append(sr)
+                    ns.append(samples.shape[0])
+                    cs.append(samples.shape[1])
+                    means.append(
+                        int(round(float(np.mean(np.abs(samples.astype(np.float64)))) * 1000.0))
+                        if samples.size
+                        else 0
+                    )
+                except Exception:  # noqa: BLE001 - any parse error = bad row
+                    oks.append(False)
+                    srs.append(None)
+                    ns.append(None)
+                    cs.append(None)
+                    means.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "decode_ok": oks,
+                    "sample_rate": pd.array(srs, dtype="Int32"),
+                    "n_samples": pd.array(ns, dtype="Int64"),
+                    "n_audio_channels": pd.array(cs, dtype="Int32"),
+                    "mean_abs_milli": pd.array(means, dtype="Int64"),
+                }
+            )
+
+    return fan_out(media.select("media_id", "payload")).mapInPandas(
+        batches, AUDIO_STATS_SCHEMA
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: expands (media_id, frame_no) rows for
     a stubbed frame count derived from payload size — the real extractor

@@ -612,29 +612,42 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(1 + doc_id % 7 AS INTEGER) AS width,
            CAST(1 + doc_id % 5 AS INTEGER) AS height,
            CAST(1 AS INTEGER) AS n_channels,
-           CAST((doc_id % 256) * 1000 AS BIGINT) AS mean_pixel_milli
+           CAST((doc_id % 256) * 1000 AS BIGINT) AS mean_pixel_milli,
+           TRUE AS audio_ok,
+           CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+           CAST(1 + doc_id % 9 AS BIGINT) AS n_samples,
+           CAST(1 + doc_id % 2 AS INTEGER) AS n_audio_channels,
+           CAST(abs(doc_id % 1001 - 500) * 1000 AS BIGINT) AS mean_abs_milli
     FROM documents
     """,
 )
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TWO decode paths under one oracle. (a) Documents' text bytes
+    """THREE decode paths under one oracle. (a) Documents' text bytes
     stand in for opaque media payloads; the deterministic fake decoder
     (operators/multimodal.py:fake_decode_stats) computes byte stats in
-    the Arrow mapInPandas shape. (b) NEW r5: the REAL stdlib PNG codec
+    the Arrow mapInPandas shape. (b) r5: the REAL stdlib PNG codec
     round-trip — each doc synthesizes a deterministic grayscale PNG
     (width 1 + doc_id%7, height 1 + doc_id%5, all pixels doc_id%256)
     via operators/multimodal.py:encode_png, then decode_image_stats
-    runs the actual zlib+struct+unfilter decoder over it. The oracle
-    predicts the decoded dimensions and integer pixel mean ANALYTICALLY
-    (pure SQL arithmetic on doc_id — DuckDB never touches a PNG), so a
-    codec bug anywhere in the encode-or-decode chain breaks the value
-    hash. Payload bytes never shuffle: both stats stages are map-local
-    scans; the final stitch is an equi-join of two slim metadata tables
-    on media_id."""
+    runs the actual zlib+struct+unfilter decoder over it. (c) r5: the
+    REAL stdlib WAV PCM round-trip — a deterministic clip per doc
+    (rate 8000 + (doc_id%4)*4000, 1 + doc_id%9 frames, 1 + doc_id%2
+    channels, constant amplitude doc_id%1001 - 500) through encode_wav
+    -> decode_audio_stats. The oracle predicts every decoded
+    dimension/mean ANALYTICALLY (pure SQL arithmetic on doc_id — DuckDB
+    never touches a PNG or WAV), so a codec bug anywhere in either
+    encode-or-decode chain breaks the value hash. Payload bytes never
+    shuffle: all three stats stages are map-local scans; the final
+    stitch joins three slim metadata tables on media_id."""
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
-    from ..operators.multimodal import decode_image_stats, encode_png  # noqa: PLC0415
+    from ..operators.multimodal import (  # noqa: PLC0415
+        decode_audio_stats,
+        decode_image_stats,
+        encode_png,
+        encode_wav,
+    )
 
     d = _docs(spark, sf_dir)
     media = d.select(
@@ -642,7 +655,7 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fake = fake_decode_stats(media)
 
-    def synth(it):
+    def synth_png(it):
         for pdf in it:
             ids = pdf["doc_id"].to_numpy()
             payloads = [
@@ -654,13 +667,34 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    png_media = d.select("doc_id").mapInPandas(synth, "media_id long, payload binary")
-    real = decode_image_stats(png_media).withColumnRenamed("media_id", "media_id_r")
-    return fake.join(
-        real, fake["media_id"] == real["media_id_r"], "inner"
-    ).select(
-        "media_id", "n_bytes", "payload_md5", "mean_byte",
-        "decode_ok", "width", "height", "n_channels", "mean_pixel_milli",
+    def synth_wav(it):
+        for pdf in it:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = [
+                encode_wav(
+                    np.full((1 + int(i) % 9, 1 + int(i) % 2), int(i) % 1001 - 500, dtype=np.int32),
+                    sample_rate=8000 + (int(i) % 4) * 4000,
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    png_media = d.select("doc_id").mapInPandas(synth_png, "media_id long, payload binary")
+    wav_media = d.select("doc_id").mapInPandas(synth_wav, "media_id long, payload binary")
+    img = decode_image_stats(png_media).withColumnRenamed("media_id", "media_id_i")
+    aud = decode_audio_stats(wav_media).select(
+        F.col("media_id").alias("media_id_a"),
+        F.col("decode_ok").alias("audio_ok"),
+        "sample_rate", "n_samples", "n_audio_channels", "mean_abs_milli",
+    )
+    return (
+        fake.join(img, fake["media_id"] == img["media_id_i"], "inner")
+        .join(aud, fake["media_id"] == aud["media_id_a"], "inner")
+        .select(
+            "media_id", "n_bytes", "payload_md5", "mean_byte",
+            "decode_ok", "width", "height", "n_channels", "mean_pixel_milli",
+            "audio_ok", "sample_rate", "n_samples", "n_audio_channels", "mean_abs_milli",
+        )
     )
 
 

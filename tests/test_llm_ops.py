@@ -188,6 +188,66 @@ def test_decode_image_palette_and_errors():
         decode_image(deep)
 
 
+@pytest.mark.parametrize("bits,channels", [(8, 1), (16, 1), (16, 2)])
+def test_decode_audio_roundtrip(bits, channels):
+    """WAV PCM round-trips bit-exactly through the stdlib codec for
+    8-bit mono / 16-bit mono / 16-bit stereo."""
+    import numpy as np
+
+    from open_bus_stride_etl_spark.operators.multimodal import decode_audio, encode_wav
+
+    rng = np.random.default_rng(7 + bits + channels)
+    lo, hi = (-128, 128) if bits == 8 else (-32768, 32768)
+    samples = rng.integers(lo, hi, size=(13, channels), dtype=np.int32)
+    payload = encode_wav(samples, sample_rate=16000, bits=bits)
+    got, sr = decode_audio(payload)
+    assert sr == 16000
+    assert got.shape == (13, channels)
+    assert (got == samples).all()
+
+
+def test_decode_audio_skips_unknown_chunks_and_errors():
+    import struct
+
+    import numpy as np
+
+    from open_bus_stride_etl_spark.operators.multimodal import decode_audio, encode_wav
+
+    samples = np.array([[100], [-100], [0]], dtype=np.int32)
+    payload = bytearray(encode_wav(samples, sample_rate=8000))
+    # splice a LIST metadata chunk between fmt and data (RIFF allows it)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = bytes(payload[:fmt_end]) + extra + bytes(payload[fmt_end:])
+    got, sr = decode_audio(spliced)
+    assert sr == 8000 and got.reshape(-1).tolist() == [100, -100, 0]
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_audio(b"OggS not a wav")
+    # non-PCM (format tag 3 = float) must fail loudly
+    bad = bytearray(encode_wav(samples, sample_rate=8000))
+    bad[20] = 3  # audio format field inside fmt chunk
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_audio(bytes(bad))
+
+
+def test_decode_audio_stats_spark_stage(spark):
+    import numpy as np
+
+    from open_bus_stride_etl_spark.operators import multimodal as mm
+
+    clip = np.full((5, 2), -250, dtype=np.int32)  # |mean| = 250.000
+    rows = [
+        Row(media_id=1, payload=bytearray(mm.encode_wav(clip, sample_rate=44100))),
+        Row(media_id=2, payload=bytearray(b"not audio at all")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in mm.decode_audio_stats(media).collect()}
+    assert out[1]["decode_ok"] and out[1]["sample_rate"] == 44100
+    assert out[1]["n_samples"] == 5 and out[1]["n_audio_channels"] == 2
+    assert out[1]["mean_abs_milli"] == 250000
+    assert not out[2]["decode_ok"]
+
+
 def test_decode_image_stats_spark_stage(spark):
     """The real decoder runs end-to-end inside the Arrow mapInPandas
     stage: valid PNGs yield dimensions + deterministic integer pixel
