@@ -88,16 +88,24 @@ def llm_curate_corpus(
     # table — and, after the write, append the NEW survivors'
     # fingerprints so the next run sees them. The index append is
     # distinct fingerprints only: it grows with unique content, not
-    # crawl volume.
+    # crawl volume. The anti-join is Bloom-pre-filtered (r5,
+    # operators/bloom.py): a healthy crawl is mostly new content, so
+    # most of the batch is DEFINITELY absent from the index and skips
+    # the shuffle entirely; only true dupes + the filter's ~1% false
+    # positives reach the exact anti-join. Result row-identical to the
+    # plain join (Bloom has no false negatives; FPs are cleared
+    # exactly).
     n_seen_dropped = 0
     if history_dir is not None:
         import os  # noqa: PLC0415
 
+        from ..operators.bloom import bloom_anti_join  # noqa: PLC0415
+
         seen_path = f"{history_dir}/seen_fingerprints.parquet"
         if os.path.isdir(seen_path):
             seen = spark.read.parquet(seen_path)
-            scored = scored.join(
-                seen.select(F.col("fingerprint").alias("_fp")), on="_fp", how="left_anti"
+            scored = bloom_anti_join(
+                scored, seen.select(F.col("fingerprint").alias("_fp")), "_fp"
             )
             # dropped-as-seen among the WOULD-BE survivors (quality/lang/
             # keeper already passed) — the operationally meaningful count.

@@ -1499,17 +1499,32 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the shape a daily crawl runs, where history is a materialized
     (fingerprint -> keeper) table and the day's batch equi-joins it
     instead of re-deduping the whole corpus. Emits (new doc, historical
-    keeper) for every already-seen document."""
+    keeper) for every already-seen document.
+
+    r5: the batch is Bloom-PRE-FILTERED before the index join
+    (operators/bloom.py): a broadcast bitset built over the index drops
+    definitely-unseen rows before any shuffle, so the equi-join
+    processes only true dupes + the ~1% false-positive residue — the
+    100 TB shape, where the day's crawl is mostly new content. The
+    Bloom has no false negatives and the exact join clears false
+    positives, so the result (and therefore the oracle SQL) is
+    unchanged — putting the scale path itself under the driver's value
+    hash."""
+    from ..operators.bloom import build_bloom, with_bloom_maybe  # noqa: PLC0415
+
     d = _docs(spark, sf_dir).withColumn(
         "fingerprint", tx.prefix_fingerprint(F.col("text"), 60)
     )
-    hist = (
+    hist = track_persist(
         d.where(F.col("doc_id") % 4 != 3)
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("dup_of"))
     )
-    return (
-        d.where(F.col("doc_id") % 4 == 3)
-        .join(hist, on="fingerprint")
-        .select("doc_id", "dup_of")
+    new = d.where(F.col("doc_id") % 4 == 3).select("doc_id", "fingerprint")
+    words = build_bloom(hist, "fingerprint")
+    maybe = (
+        with_bloom_maybe(new, "fingerprint", words)
+        .where(F.col("_bloom_maybe"))
+        .drop("_bloom_maybe")
     )
+    return maybe.join(hist, on="fingerprint").select("doc_id", "dup_of")
