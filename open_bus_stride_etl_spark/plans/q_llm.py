@@ -1501,30 +1501,25 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of re-deduping the whole corpus. Emits (new doc, historical
     keeper) for every already-seen document.
 
-    r5: the batch is Bloom-PRE-FILTERED before the index join
-    (operators/bloom.py): a broadcast bitset built over the index drops
-    definitely-unseen rows before any shuffle, so the equi-join
-    processes only true dupes + the ~1% false-positive residue — the
-    100 TB shape, where the day's crawl is mostly new content. The
-    Bloom has no false negatives and the exact join clears false
-    positives, so the result (and therefore the oracle SQL) is
-    unchanged — putting the scale path itself under the driver's value
-    hash."""
-    from ..operators.bloom import build_bloom, with_bloom_maybe  # noqa: PLC0415
-
+    The Bloom-pre-filtered variant (operators/bloom.py:bloom_anti_join,
+    used by the llm-curate-corpus incremental task) was TRIED here in
+    r5 and reverted on measurement: with the index recomputed from the
+    same corpus scan each run, the extra build pass + bitset collect
+    cost 0.42 -> 2.15 s at sf0.1 and 1.25 -> 2.63 s at sf10 — the
+    bloom pays off when the index is a large PRE-MATERIALIZED table
+    whose shuffle it avoids (the task shape), not when the index is
+    derived in-query. Result-equality of the two paths is pinned by
+    tests/test_bloom.py either way."""
     d = _docs(spark, sf_dir).withColumn(
         "fingerprint", tx.prefix_fingerprint(F.col("text"), 60)
     )
-    hist = track_persist(
+    hist = (
         d.where(F.col("doc_id") % 4 != 3)
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("dup_of"))
     )
-    new = d.where(F.col("doc_id") % 4 == 3).select("doc_id", "fingerprint")
-    words = build_bloom(hist, "fingerprint")
-    maybe = (
-        with_bloom_maybe(new, "fingerprint", words)
-        .where(F.col("_bloom_maybe"))
-        .drop("_bloom_maybe")
+    return (
+        d.where(F.col("doc_id") % 4 == 3)
+        .join(hist, on="fingerprint")
+        .select("doc_id", "dup_of")
     )
-    return maybe.join(hist, on="fingerprint").select("doc_id", "dup_of")
