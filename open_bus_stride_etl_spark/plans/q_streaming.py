@@ -570,3 +570,75 @@ def streaming_hourly_distinct_users(spark: SparkSession, sf_dir: str) -> DataFra
     return out.select(
         F.col("w.start").alias("hour_start"), "n_users", "n_events"
     )
+
+
+@query(
+    "streaming_upsert_snapshot",
+    """
+    WITH v AS (
+      SELECT user_id, event_id, ts,
+             (CAST(floor(date_part('epoch', ts)) AS BIGINT) << 24)
+               | (event_id & 16777215) AS ver
+      FROM events WHERE ts IS NOT NULL
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ver DESC) AS rn
+          FROM v)
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts, ver
+    FROM r WHERE rn = 1
+    """,
+)
+def streaming_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keyed-UPSERT sink under the oracle: stream the events table
+    through ``writeStream.foreachBatch(parquet_upsert_sink)`` — each
+    micro-batch latest-wins-merged into a keyed parquet snapshot
+    (streaming/upsert_sink.py; the plain-parquet MERGE INTO every
+    continuously-updated serving table needs, and the streaming form of
+    the reference's keyed UPDATE..FROM tasks). The version is a total
+    order (epoch-seconds << 24 | low event-id bits — event ids are
+    unique and < 2^24 at every test SF), so the final snapshot is
+    exactly "the newest event per user" and hash-matches the batch
+    row_number oracle regardless of how many micro-batches the source
+    splits into (latest-wins is associative; the multi-batch and
+    partitioned/idempotent-replay mechanics are pinned by
+    tests/test_upsert_sink.py). The snapshot is read back and
+    localCheckpoint-ed so the temp dirs can be deleted immediately
+    (self-contained-results rule)."""
+    import tempfile as _tf  # noqa: PLC0415
+
+    from ..streaming.upsert_sink import parquet_upsert_sink  # noqa: PLC0415
+
+    stream, src_dir = _events_stream(spark, sf_dir)
+    ver = F.shiftleft(F.unix_timestamp("ts"), 24).bitwiseOR(
+        F.col("event_id").bitwiseAND(F.lit(16777215))
+    )
+    v = stream.where(F.col("ts").isNotNull()).select(
+        "user_id", "event_id", "ts", ver.alias("ver")
+    )
+    root = _tf.mkdtemp(prefix="upsert_root_")
+    snap = os.path.join(root, "snap")
+    ckpt = os.path.join(root, "ckpt")
+    try:
+        with _stream_shuffle_scope(spark, src_dir):
+            q = (
+                v.writeStream.foreachBatch(
+                    parquet_upsert_sink(snap, ["user_id"], "ver")
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_or_raise(q)
+        out = (
+            spark.read.parquet(snap)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("ts").alias("last_ts"),
+                "ver",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(src_dir, ignore_errors=True)
+    return out

@@ -302,6 +302,8 @@ _DEMOTE_LAST = [
     "moving_avg_frame",  # d1-d4 quadruple-green; window frame agg via running_min (promoted)
     "cosine_topk",  # d1-d4 quadruple-green; exact path runs inside ann_recall_eval
     "dedup_embedding_cosine",  # d2-d4 triple-green; blocked-matmul near-dup via semdedup_pairs
+    # Slot freed for streaming_upsert_snapshot (new in r5):
+    "ann_ivf_topk",  # d1-d4 quadruple-green; deterministic-pivot IVF strictly covered by the trained persisted-index lifecycle query
 ]
 
 # Auditable coverage ledger (VERDICT r3 item 8): every demoted query
@@ -344,6 +346,7 @@ COVERED_BY = {
     "moving_avg_frame": "running_min",  # running window frame aggregate
     "cosine_topk": "ann_recall_eval",  # runs the exact cosine baseline internally
     "dedup_embedding_cosine": "semdedup_pairs",  # blocked-matmul embedding near-dup
+    "ann_ivf_topk": "ann_ivf_persisted_topk",  # same probe kernel; trained centroids + parquet round-trip on top
 }
 
 
