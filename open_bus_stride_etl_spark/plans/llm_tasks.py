@@ -336,3 +336,91 @@ def llm_ann_query(
         )
         metrics["recall_bp"] = int(round(10000.0 * rec["h"] / rec["t"])) if rec["t"] else None
     return metrics
+
+
+@task(
+    "llm-export-training-shards",
+    cadence="daily",
+    vocab_size=100,
+    n_shards=8,
+    seed="ep0",
+)
+def llm_export_training_shards(
+    spark: SparkSession,
+    base_dir: str,
+    vocab_size: int = 100,
+    n_shards: int = 8,
+    seed: str = "ep0",
+    in_dir: str | None = None,
+    out_dir: str | None = None,
+) -> dict:
+    """The LAST MILE of the training-data pipeline: turn a curated
+    corpus into the sharded, shuffled, tokenized artifact a training
+    loader consumes. Chains the already-oracle-checked operators:
+
+    1. vocabulary = the corpus's top-``vocab_size`` document-frequency
+       terms (rank = token id, ties by term — the tokenize_vocab_ids
+       contract; a production run passes a fixed external vocab
+       instead),
+    2. ``tokenize_with_vocab`` — token-id sequences, OOV = 0,
+    3. ``shard_shuffle(seed)`` — the reproducible hash-random global
+       order (bucket-then-rank; NEVER a single global sort), one seed
+       per epoch,
+    4. write parquet PARTITIONED BY shard, rows sorted by ``pos``
+       within each shard file — a loader streams shards in any
+       interleaving and replays the identical order on every engine.
+
+    Scale shape: the vocab is a broadcast; tokenization is one
+    posexplode + broadcast join + doc-keyed reassembly; the shuffle
+    order is n_shards independent window partitions (each bounded at
+    |corpus|/n_shards); the final exchange is one repartition by shard
+    (one output file per shard partition at real scale). Reads
+    ``in_dir`` (default: the llm-curate-corpus output if present, else
+    the raw documents table)."""
+    import os  # noqa: PLC0415
+
+    configure(spark)
+    from ..operators import corpus_stats as cs  # noqa: PLC0415
+    from ..operators import sampling as sp  # noqa: PLC0415
+
+    src = in_dir
+    if src is None:
+        cur = f"{base_dir}/curated_documents"
+        src = cur if os.path.isdir(cur) else f"{base_dir}/documents.parquet"
+    docs = spark.read.parquet(src)
+
+    order = [F.col("df").desc(), F.col("term").asc()]
+    head = cs.term_document_frequency(docs).orderBy(*order).limit(vocab_size)
+    vocab = head.select(
+        "term", F.row_number().over(Window.orderBy(*order)).cast("long").alias("token_id")
+    )
+    toks = cs.tokenize_with_vocab(docs, vocab)
+    order_df = sp.shard_shuffle(docs, n_shards=n_shards, seed=seed)
+    sharded = toks.join(order_df, on="doc_id").select(
+        "doc_id", "shard", "pos", "n_tokens", "n_oov", "ids_csv"
+    )
+    out = out_dir or f"{base_dir}/training_shards/{seed}"
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out)
+    )
+    stats = spark.read.parquet(out).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("shard").alias("n_shards_written"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_oov").alias("total_oov"),
+    ).collect()[0]
+    return {
+        "n_docs": stats["n_docs"],
+        "n_shards_written": stats["n_shards_written"],
+        "total_tokens": stats["total_tokens"],
+        "oov_bp": int(round(10000.0 * stats["total_oov"] / stats["total_tokens"]))
+        if stats["total_tokens"]
+        else 0,
+        "vocab_size": vocab_size,
+        "seed": seed,
+        "out_dir": out,
+    }

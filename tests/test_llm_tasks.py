@@ -176,3 +176,45 @@ def test_ann_query_recall_gate(spark, emb_lake, tmp_path):
         eval_recall=True,
     )
     assert q["recall_bp"] == 10000  # all cells probed -> exact recall
+
+
+def test_export_training_shards(spark, lake, tmp_path):
+    """End-to-end last mile: vocab -> tokenize -> shuffle -> sharded
+    write. Every doc appears exactly once, per-shard positions are
+    contiguous from 1, rows inside a shard file are stored in pos
+    order, and the same seed reproduces the identical artifact while a
+    different seed permutes the order."""
+    out = str(tmp_path / "shards")
+    m = run_task(
+        spark, "llm-export-training-shards", base_dir=lake,
+        vocab_size=10, n_shards=4, seed="ep0", out_dir=out,
+    )
+    assert m["n_docs"] == 5 and m["total_tokens"] > 0
+    back = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in back.collect()) == [1, 2, 3, 4, 5]
+    per_shard = {
+        r["shard"]: sorted(rr["pos"] for rr in back.where(F.col("shard") == r["shard"]).collect())
+        for r in back.select("shard").distinct().collect()
+    }
+    for shard, poss in per_shard.items():
+        assert poss == list(range(1, len(poss) + 1)), f"shard {shard} pos not contiguous"
+    # within-file storage order follows pos (sortWithinPartitions)
+    import glob
+
+    for d in glob.glob(out + "/shard=*"):
+        rows = spark.read.parquet(d).select("pos").collect()
+        poss = [r["pos"] for r in rows]
+        assert poss == sorted(poss), f"{d} not stored in pos order"
+
+    # reproducibility: same seed -> identical mapping; new seed -> reshuffle
+    out2 = str(tmp_path / "shards2")
+    run_task(spark, "llm-export-training-shards", base_dir=lake,
+             vocab_size=10, n_shards=4, seed="ep0", out_dir=out2)
+    a = sorted(map(tuple, spark.read.parquet(out).select("doc_id", "shard", "pos").collect()))
+    b = sorted(map(tuple, spark.read.parquet(out2).select("doc_id", "shard", "pos").collect()))
+    assert a == b
+    out3 = str(tmp_path / "shards3")
+    run_task(spark, "llm-export-training-shards", base_dir=lake,
+             vocab_size=10, n_shards=4, seed="ep1", out_dir=out3)
+    c = sorted(map(tuple, spark.read.parquet(out3).select("doc_id", "shard", "pos").collect()))
+    assert c != a  # different epoch seed permutes shard/pos assignment
