@@ -577,3 +577,28 @@ def stats_collect(spark: SparkSession, base_dir: str, validate: bool = False):
     if validate:
         metrics["freshness_age_sec"] = validate_freshness(snaps, 3600)
     return metrics
+
+
+@task("lake-compact", cadence="daily", target_mb=128)
+def lake_compact(
+    spark: SparkSession,
+    base_dir: str,
+    dataset: str,
+    target_mb: int = 128,
+    sort_cols: str = "",
+):
+    """Small-file compaction for a lake dataset (no reference analog —
+    Postgres has autovacuum; a parquet lake needs this pass after
+    incremental/streaming writers fragment a table). Delegates to
+    sources/fs.py:compact_parquet; ``sort_cols`` (comma-separated)
+    additionally clusters rows so parquet min/max stats support range
+    pruning."""
+    from ..sources.fs import compact_parquet, join_path  # noqa: PLC0415
+
+    cols = [c.strip() for c in sort_cols.split(",") if c.strip()]
+    return compact_parquet(
+        spark,
+        join_path(base_dir, dataset),
+        target_file_bytes=target_mb << 20,
+        sort_cols=cols or None,
+    )

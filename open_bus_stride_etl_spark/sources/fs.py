@@ -155,3 +155,66 @@ def delete(path: str, spark: SparkSession | None = None) -> None:
     fs, jp = _hadoop(_active_spark(spark), path)
     if fs.exists(jp):
         fs.delete(jp, True)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    sort_cols: list | None = None,
+) -> dict:
+    """Small-file compaction for a parquet dataset directory — the lake
+    maintenance pass every streaming/incremental writer eventually
+    needs: availableNow micro-batches, per-epoch upserts, and daily
+    appends each leave files far below the HDFS/S3-efficient size, and
+    scan cost at 100 TB is dominated by file-open overhead once the
+    small-file count explodes.
+
+    Rewrites ``path`` to ``ceil(total_bytes / target_file_bytes)``
+    files (coalesce if shrinking — no shuffle; repartition only if the
+    dataset is somehow under-split), optionally sorting rows into the
+    new files by ``sort_cols`` so parquet row-group min/max stats stay
+    tight for range pruning (a shuffle-range-sort; skip it for pure
+    bin-packing). The rewrite goes through a staging dir and an atomic
+    rename swap, so readers see either the old or the new layout.
+
+    Returns {files_before, files_after, bytes_total}. Local-FS and
+    Hadoop-FS paths both work (the staging swap uses the same
+    rename/delete helpers as the object-store sink)."""
+    import math  # noqa: PLC0415
+    import uuid as _uuid  # noqa: PLC0415
+
+    def _data_files(fs, p):
+        out = []
+        it = fs.listFiles(p, True)  # Hadoop RemoteIterator, not a Python iterable
+        while it.hasNext():
+            status = it.next()
+            name = status.getPath().toString()
+            if name.endswith(".parquet") or "/part-" in name:
+                out.append((name, status.getLen()))
+        return out
+
+    jfs, jpath = _hadoop(spark, path)
+    files = _data_files(jfs, jpath) if jfs.exists(jpath) else []
+    total = sum(sz for _, sz in files)
+    n_before = len(files)
+    n_target = max(1, math.ceil(total / max(target_file_bytes, 1)))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        out = df.repartitionByRange(n_target, *sort_cols).sortWithinPartitions(*sort_cols)
+    elif n_target < max(n_before, 1):
+        out = df.coalesce(n_target)
+    else:
+        out = df.repartition(n_target)
+    staging = f"{path.rstrip('/')}__compact_{_uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(staging)
+    old = f"{path.rstrip('/')}__old_{_uuid.uuid4().hex[:8]}"
+    rename(path, old, spark)
+    if not rename(staging, path, spark):
+        # put the original back before failing: readers never see a gap
+        rename(old, path, spark)
+        delete(staging, spark)
+        raise IOError(f"compact_parquet: could not swap {staging} into {path}")
+    delete(old, spark)
+    n_after = len(_data_files(jfs, _hadoop(spark, path)[1]))
+    return {"files_before": n_before, "files_after": n_after, "bytes_total": total}

@@ -81,3 +81,45 @@ def test_register_artifact_at_fs_uri(spark, tmp_path):
     assert r1["file_size"] == len(b"payload-bytes")
     latest = latest_artifact(spark, base, "siri/2024/05")
     assert latest is not None and latest["url"] == r2["url"]
+
+
+def test_compact_parquet_shrinks_and_preserves(spark, tmp_path):
+    from open_bus_stride_etl_spark.sources.fs import compact_parquet
+
+    path = str(tmp_path / "many")
+    df = spark.range(2000).selectExpr("id", "id * 2 AS v")
+    df.repartition(20).write.parquet(path)
+    before = sorted((r["id"], r["v"]) for r in spark.read.parquet(path).collect())
+    m = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert m["files_before"] >= 20 and m["files_after"] == 1
+    after = sorted((r["id"], r["v"]) for r in spark.read.parquet(path).collect())
+    assert after == before
+
+
+def test_compact_parquet_sorted_tightens_rowgroups(spark, tmp_path):
+    """sort_cols compaction must leave files whose parquet min/max id
+    ranges are disjoint (tight stats -> range pruning), and content
+    unchanged."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from open_bus_stride_etl_spark.sources.fs import compact_parquet
+
+    path = str(tmp_path / "sorted")
+    # interleaved writes: every file spans nearly the full id range
+    spark.range(4000).selectExpr("CAST(id % 97 AS BIGINT) AS k", "id AS v") \
+        .repartition(8).write.parquet(path)
+    before = sorted((r["k"], r["v"]) for r in spark.read.parquet(path).collect())
+    compact_parquet(spark, path, target_file_bytes=20_000, sort_cols=["k"])
+    after = sorted((r["k"], r["v"]) for r in spark.read.parquet(path).collect())
+    assert after == before
+    ranges = []
+    for f in glob.glob(path + "/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        ks = [md.row_group(i).column(0).statistics for i in range(md.num_row_groups)]
+        ranges.append((min(s.min for s in ks), max(s.max for s in ks)))
+    ranges.sort()
+    assert len(ranges) >= 2, "expected a multi-file sorted layout"
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file key ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
