@@ -3,7 +3,10 @@ a single shuffle would funnel through one hot task.
 
 Where skew is handled elsewhere in this engine:
 - JOIN skew: AQE's skew-join splitting is enabled session-wide
-  (session.py RUNTIME_CONFS) and handles it at runtime without salting.
+  (session.py RUNTIME_CONFS) and handles sort-merge cases at runtime;
+  ``salted_join`` below is the deterministic explicit tool for when the
+  skewed side must aggregate first or AQE can't kick in (e.g. a
+  shuffle-hash join whose hot partition is one key).
 - Plain aggregations (sum/count/min/max): Spark's hash aggregate always
   does map-side partial aggregation, so a hot groupBy key never ships
   more than one partial row per map task.
@@ -38,6 +41,33 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    salt_by: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``big ⋈ small`` on ``on`` with the big side salted
+    ``n_salts`` ways. ``salt_by`` names a big-side column whose hash
+    spreads rows (defaults to the join key's own row spread via
+    ``xxhash64`` of all columns — deterministic, no rand()).
+
+    Mechanics: the big side gets a deterministic salt in [0, n); the
+    small side is replicated n times (explode); the join key becomes
+    (key, salt), splitting each hot key across n reducers. The small
+    side's shuffle volume grows n_salts x — cheap when small, which is
+    the only case salting targets (a big-big skewed join wants AQE
+    instead)."""
+    salt_src = F.xxhash64(*[F.col(c) for c in ([salt_by] if salt_by else big.columns)])
+    b = big.withColumn("_salt", F.pmod(salt_src, F.lit(n_salts)).cast("int"))
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return b.join(s, on=[on, "_salt"], how=how).drop("_salt")
 
 
 def topk_per_key_salted(
