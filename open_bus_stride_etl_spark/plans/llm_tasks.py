@@ -1,9 +1,12 @@
-"""LLM corpus-curation task: the dedup/quality/language operator
-families composed into one schedulable pipeline stage with a written
-artifact — the shape a daily training-data refresh actually runs
-(ingest -> score -> dedup -> write), driven through the same task
-registry/CLI as the transit ETL tasks (SURVEY.md §3; no reference-repo
-analog — BASELINE.json extension).
+"""LLM training-data pipeline tasks: the operator families composed
+into schedulable stages with written artifacts, driven through the same
+task registry/CLI as the transit ETL tasks (SURVEY.md §3; no
+reference-repo analog — BASELINE.json extension). Four stages:
+llm-curate-corpus (ingest -> score -> dedup -> write, optionally
+incremental against a Bloom-pre-filtered history index),
+llm-build-ann-index / llm-ann-query (the persisted IVF lifecycle), and
+llm-export-training-shards (tokenize -> seeded shuffle -> sharded
+replay-ordered write — the artifact a training loader consumes).
 
 The selection logic is the oracle-pinned `corpus_clean_keep` query
 (plans/q_llm.py): quality >= threshold, language allow-list, exact-dup
