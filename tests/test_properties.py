@@ -254,3 +254,102 @@ def test_connected_components_precontract_invariant(spark, edges, local_finish):
         ).collect()
     }
     assert pre == base
+
+
+# --- r5 operators: bloom joins, salted top-k, PNG/WAV codecs ---------------
+
+
+@st.composite
+def key_sets(draw):
+    new_keys = draw(st.lists(st.integers(0, 40), min_size=1, max_size=30))
+    seen_keys = draw(st.lists(st.integers(0, 40), min_size=0, max_size=30))
+    return new_keys, seen_keys
+
+
+@given(key_sets(), st.sampled_from([6, 12]))
+@settings(**SETTINGS)
+def test_bloom_joins_match_plain_property(spark, keys, bits_log2):
+    """bloom_anti_join / bloom_semi_join == plain anti/semi join for ANY
+    key overlap and ANY filter size (undersized filters force false
+    positives; results must still match exactly)."""
+    from open_bus_stride_etl_spark.operators import bloom as bl
+
+    new_keys, seen_keys = keys
+    new = spark.createDataFrame(
+        [Row(fp=f"k{k}", i=i) for i, k in enumerate(new_keys)], "fp string, i long"
+    )
+    seen = spark.createDataFrame([Row(fp=f"k{k}") for k in seen_keys], "fp string") \
+        if seen_keys else spark.createDataFrame([], "fp string")
+    for how, fn in (("left_anti", bl.bloom_anti_join), ("left_semi", bl.bloom_semi_join)):
+        plain = sorted(r["i"] for r in new.join(seen, on="fp", how=how).collect())
+        got = sorted(
+            r["i"] for r in fn(new, seen, "fp", bits_log2=bits_log2).collect()
+        )
+        assert got == plain, f"{how} bits_log2={bits_log2}"
+
+
+@st.composite
+def keyed_rows(draw):
+    n = draw(st.integers(1, 40))
+    return [
+        (i, draw(st.integers(0, 3)), draw(st.integers(0, 50)))
+        for i in range(n)
+    ]
+
+
+@given(keyed_rows(), st.integers(1, 4), st.sampled_from([1, 3, 8]))
+@settings(**SETTINGS)
+def test_salted_topk_property(spark, rows, k, n_salts):
+    from open_bus_stride_etl_spark.operators import skew as sk
+
+    df = spark.createDataFrame(rows, "id long, g long, v long")
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = sorted(
+        (r["g"], r["id"], r["rn"])
+        for r in sk.topk_per_key_salted(df, ["g"], order, k=k, n_salts=n_salts).collect()
+    )
+    want = []
+    for g in {r[1] for r in rows}:
+        grp = sorted((r for r in rows if r[1] == g), key=lambda r: (-r[2], r[0]))
+        want += [(g, r[0], i + 1) for i, r in enumerate(grp[:k])]
+    assert got == sorted(want)
+
+
+@given(
+    st.integers(1, 6), st.integers(1, 6),
+    st.sampled_from([(0, 1), (2, 3), (4, 2), (6, 4)]),
+    st.lists(st.integers(0, 4), min_size=6, max_size=6),
+    st.integers(0, 2**31 - 1),
+)
+@settings(**SETTINGS)
+def test_png_roundtrip_property(h, w, color_ch, filters, seed):
+    """Random dims x random per-row filter choices x every color type:
+    encode -> decode must be bit-exact."""
+    import numpy as np
+
+    from open_bus_stride_etl_spark.operators.multimodal import decode_image, encode_png
+
+    color_type, ch = color_ch
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    payload = encode_png(px, color_type, filters=filters[:h])
+    got = decode_image(payload)
+    assert got.shape == (h, w, ch) and (got == px).all()
+
+
+@given(
+    st.integers(1, 30), st.sampled_from([1, 2, 3]),
+    st.sampled_from([8, 16]), st.integers(0, 2**31 - 1),
+)
+@settings(**SETTINGS)
+def test_wav_roundtrip_property(frames, channels, bits, seed):
+    import numpy as np
+
+    from open_bus_stride_etl_spark.operators.multimodal import decode_audio, encode_wav
+
+    rng = np.random.default_rng(seed)
+    lo, hi = (-128, 128) if bits == 8 else (-32768, 32768)
+    samples = rng.integers(lo, hi, size=(frames, channels), dtype=np.int32)
+    payload = encode_wav(samples, sample_rate=22050, bits=bits)
+    got, sr = decode_audio(payload)
+    assert sr == 22050 and got.shape == (frames, channels) and (got == samples).all()
