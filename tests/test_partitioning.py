@@ -112,3 +112,20 @@ def test_scan_pushdown_canaries(spark, sf_dir):
 
     plan2 = _explain(qs["like_prefix"](spark, sf_dir))
     assert "StringStartsWith" in plan2 or "PushedFilters: [" in plan2
+
+
+def test_flat_export_plan_is_broadcast_only(spark, sf_dir):
+    """The flagship denormalizing export must stay shuffle-free: every
+    dim join broadcast, zero Exchanges — the property that makes it a
+    map-only pass over lineitem at 100 TB. A regression to a
+    SortMergeJoin here would shuffle the fact table seven ways."""
+    from open_bus_stride_etl_spark.plans import registry
+
+    plan = _explain(registry.queries()["flat_export"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    body = plan.split("== Photon", 1)[0]
+    n_exchange = sum(
+        1 for line in body.splitlines()
+        if "Exchange" in line and "ReusedExchange" not in line and "BroadcastExchange" not in line
+    )
+    assert n_exchange == 0, f"unexpected shuffle Exchange in flat_export plan:\n{plan}"
