@@ -202,3 +202,50 @@ def epoch_upsample(
             F.col(id_col), F.col(source_col), F.col("copy_idx").cast("long").alias("copy_idx")
         )
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    components: DataFrame | None = None,
+    weights_bp: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    seed: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment with a DUPLICATE-LEAKAGE guard: the
+    split key is the document's near-dup COMPONENT id (``components`` =
+    ``(doc_id, component_id)`` from ``dedup.connected_components``) when
+    it has one, else the doc id — so an entire near-duplicate group
+    lands in ONE split, and a test document can never have a training
+    twin. Splitting by plain doc hash silently leaks: with 10% dups a
+    naive 90/5/5 split puts ~9.5% of test docs' near-copies in train.
+
+    Membership is the engine's deterministic md5-bucket rule
+    (reproducible across engines/reruns/partitionings; salt with
+    ``seed`` so this decision stream is independent of every other
+    hash-membership stage — curation.py:hash_bucket_bp doctrine).
+    ``weights_bp`` maps split name -> basis points, must sum to 10000;
+    cut points follow dict order. Output: ``(id_col, split)``.
+
+    Scale shape: one left join against the slim component table (the
+    dedup pipeline already materialized it) + a map-side bucket compare;
+    nothing else shuffles."""
+    weights_bp = weights_bp or {"train": 9000, "val": 500, "test": 500}
+    if sum(weights_bp.values()) != 10000:
+        raise ValueError("weights_bp must sum to 10000")
+    if components is not None:
+        comp = components.select(
+            F.col("doc_id").alias(id_col), F.col("component_id").alias("_comp")
+        )
+        keyed = docs.select(id_col).join(comp, on=id_col, how="left")
+        key = F.coalesce(F.col("_comp"), F.col(id_col))
+    else:
+        keyed = docs.select(id_col)
+        key = F.col(id_col)
+    bucket = hash_bucket_bp(key, seed)
+    expr = None
+    lo = 0
+    for name, w in weights_bp.items():
+        cond = (bucket >= lo) & (bucket < lo + w)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += w
+    return keyed.select(F.col(id_col), expr.alias("split"))

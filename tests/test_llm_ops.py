@@ -724,3 +724,33 @@ def test_ann_recall_at_k_counts(spark):
     out = {r["query_id"]: r for r in sim.ann_recall_at_k(exact, ann).collect()}
     assert out[1]["n_true"] == 3 and out[1]["n_hit"] == 2 and out[1]["recall_bp"] == 6667
     assert out[2]["n_true"] == 2 and out[2]["n_hit"] == 0 and out[2]["recall_bp"] == 0
+
+
+def test_leakage_safe_split_co_assigns_dup_groups(spark):
+    """Every member of a near-dup component must land in the SAME split,
+    the assignment must be deterministic, and the weights must roughly
+    hold on singleton docs."""
+    from open_bus_stride_etl_spark.operators.curation import leakage_safe_split
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(500)], "doc_id long")
+    # components: docs 0-9 in one group, 100-104 in another
+    comps = spark.createDataFrame(
+        [Row(doc_id=i, component_id=0) for i in range(10)]
+        + [Row(doc_id=i, component_id=100) for i in range(100, 105)],
+        "doc_id long, component_id long",
+    )
+    out = {r["doc_id"]: r["split"] for r in leakage_safe_split(docs, comps).collect()}
+    assert len(out) == 500 and set(out.values()) <= {"train", "val", "test"}
+    assert len({out[i] for i in range(10)}) == 1, "dup group split across sets"
+    assert len({out[i] for i in range(100, 105)}) == 1
+    # deterministic
+    out2 = {r["doc_id"]: r["split"] for r in leakage_safe_split(docs, comps).collect()}
+    assert out == out2
+    # rough weight sanity on ~485 singletons: train is the large bucket
+    n_train = sum(1 for v in out.values() if v == "train")
+    assert n_train > 400
+    with pytest.raises(ValueError, match="10000"):
+        leakage_safe_split(docs, None, {"train": 5000, "test": 1000})
+    # without components: still total, deterministic
+    solo = {r["doc_id"]: r["split"] for r in leakage_safe_split(docs).collect()}
+    assert len(solo) == 500
