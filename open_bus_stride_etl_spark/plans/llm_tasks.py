@@ -91,24 +91,21 @@ def llm_curate_corpus(
     # table — and, after the write, append the NEW survivors'
     # fingerprints so the next run sees them. The index append is
     # distinct fingerprints only: it grows with unique content, not
-    # crawl volume. The anti-join is Bloom-pre-filtered (r5,
-    # operators/bloom.py): a healthy crawl is mostly new content, so
-    # most of the batch is DEFINITELY absent from the index and skips
-    # the shuffle entirely; only true dupes + the filter's ~1% false
-    # positives reach the exact anti-join. Result row-identical to the
-    # plain join (Bloom has no false negatives; FPs are cleared
-    # exactly).
+    # crawl volume. A Bloom-pre-filtered variant (operators/bloom.py)
+    # was tried here in r5 and REVERTED on measurement: at a 20M-key
+    # materialized index x 5M-row batch the per-run bitset build made
+    # it 12x slower than Spark's native AQE anti-join (2.4 s vs 29 s,
+    # interleaved A/B x3) — see bloom.py's docstring for the full
+    # verdict and the narrow amortized-bitset niche where it can win.
     n_seen_dropped = 0
     if history_dir is not None:
         import os  # noqa: PLC0415
 
-        from ..operators.bloom import bloom_anti_join  # noqa: PLC0415
-
         seen_path = f"{history_dir}/seen_fingerprints.parquet"
         if os.path.isdir(seen_path):
             seen = spark.read.parquet(seen_path)
-            scored = bloom_anti_join(
-                scored, seen.select(F.col("fingerprint").alias("_fp")), "_fp"
+            scored = scored.join(
+                seen.select(F.col("fingerprint").alias("_fp")), on="_fp", how="left_anti"
             )
             # dropped-as-seen among the WOULD-BE survivors (quality/lang/
             # keeper already passed) — the operationally meaningful count.
