@@ -510,7 +510,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_ivf_topk",
-    "WITH " + _SQL_COMP + """,
+    "WITH " + _SQL_COMP + f""",
     piv AS (SELECT vec_id AS pivot_id FROM embeddings ORDER BY vec_id LIMIT 8),
     pd AS (
       SELECT c.vec_id, p.pivot_id, SUM(c.q * pc.q) AS dot
@@ -528,10 +528,11 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, pivot_id) AS rn
         FROM ascored) WHERE rn = 1
     ),
+    qsel AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_RECALL_EVAL_QUERIES}),
     pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS cand_id
       FROM cell q JOIN cell c ON q.cell = c.cell
-      WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+      WHERE q.vec_id IN (SELECT vec_id FROM qsel) AND q.vec_id <> c.vec_id
     ),
     dots AS (
       SELECT p.query_id, p.cand_id, SUM(a.q * b.q) AS dot
@@ -550,8 +551,12 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-pivot IVF top-k; query set = the fixed lowest-100
+    sample (r5, same contract as ann_recall_eval — an ANN query serves
+    a bounded set per call; the corpus-proportional slice made the
+    registered query quadratic-ish)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 50 == 0)
+    queries = emb.orderBy("vec_id").limit(_RECALL_EVAL_QUERIES)
     return sim.ann_ivf_topk(emb, queries, k=3, n_pivots=8)
 
 
@@ -1008,7 +1013,8 @@ _FLIP_PROBES = " UNION ALL ".join(
     # integer-quantized products summed exactly.
     "WITH " + _SQL_COMP + f""",
     bk AS (SELECT vec_id, {_SQL_BUCKET} AS bucket FROM embeddings),
-    qb0 AS (SELECT vec_id, bucket FROM bk WHERE vec_id % 50 = 0),
+    qsel AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_RECALL_EVAL_QUERIES}),
+    qb0 AS (SELECT vec_id, bucket FROM bk WHERE vec_id IN (SELECT vec_id FROM qsel)),
     qb AS (SELECT vec_id, bucket FROM qb0 UNION ALL {_FLIP_PROBES}),
     pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS cand_id
@@ -1038,9 +1044,15 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     flips, recovering near-neighbors that differ on one borderline sign
     bit — recall rises at the cost of ~9 bucket lookups per query while
     the corpus-side index/pass is untouched. The standard accuracy knob
-    when raising `bits` for occupancy would otherwise cost recall."""
+    when raising `bits` for occupancy would otherwise cost recall.
+
+    r5: the query set is the FIXED-COUNT lowest-100 sample (the same
+    contract change as ann_recall_eval) — an ANN top-k serves a bounded
+    query set per call by definition; the old corpus-proportional
+    vec_id % 50 slice made the registered query O(corpus^2/50) and was
+    the remaining >5x SCALE row (9.1x at 300x)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 50 == 0)
+    queries = emb.orderBy("vec_id").limit(_RECALL_EVAL_QUERIES)
     return sim.ann_lsh_topk(emb, queries, k=3, probes=1)
 
 
