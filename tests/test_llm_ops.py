@@ -754,3 +754,39 @@ def test_leakage_safe_split_co_assigns_dup_groups(spark):
     # without components: still total, deterministic
     solo = {r["doc_id"]: r["split"] for r in leakage_safe_split(docs).collect()}
     assert len(solo) == 500
+
+
+def test_decode_stats_survive_corrupt_payloads(spark):
+    """Signature-valid but corrupt payloads (truncated chunks, garbage
+    deflate streams, wrong lengths) must become decode_ok=false rows —
+    the Arrow stage never fails the job on a bad file."""
+    import struct
+    import zlib
+
+    from open_bus_stride_etl_spark.operators import multimodal as mm
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    rows = [
+        # valid signature, garbage after
+        (1, sig + b"\x00" * 40),
+        # valid IHDR, IDAT is not a deflate stream
+        (2, sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", b"not deflate") + chunk(b"IEND", b"")),
+        # valid IHDR, deflate stream of the WRONG length
+        (3, sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 3)) + chunk(b"IEND", b"")),
+        # RIFF/WAVE with a truncated fmt chunk
+        (4, b"RIFF" + struct.pack("<I", 20) + b"WAVE" + b"fmt " + struct.pack("<I", 4) + b"\x01\x00"),
+    ]
+    media = spark.createDataFrame(
+        [Row(media_id=i, payload=bytearray(p)) for i, p in rows],
+        "media_id long, payload binary",
+    )
+    img = {r["media_id"]: r["decode_ok"] for r in mm.decode_image_stats(media).collect()}
+    aud = {r["media_id"]: r["decode_ok"] for r in mm.decode_audio_stats(media).collect()}
+    assert img == {1: False, 2: False, 3: False, 4: False}
+    assert aud == {1: False, 2: False, 3: False, 4: False}
