@@ -123,3 +123,16 @@ def test_compact_parquet_sorted_tightens_rowgroups(spark, tmp_path):
     assert len(ranges) >= 2, "expected a multi-file sorted layout"
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file key ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def test_compact_parquet_on_fs_uri(spark, tmp_path):
+    """The compaction swap must work through Hadoop-FS URIs (the
+    object-store path shape), not only bare local paths."""
+    from open_bus_stride_etl_spark.sources.fs import compact_parquet
+
+    path = f"file://{tmp_path}/uri_ds"
+    spark.range(500).selectExpr("id", "id % 5 AS g").repartition(10).write.parquet(path)
+    before = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    m = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert m["files_before"] >= 10 and m["files_after"] == 1
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == before
