@@ -12,7 +12,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hex_to_long
 from ..operators import dedup as dd
 from ..operators import similarity as sim
 from ..operators import text as tx
