@@ -288,6 +288,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    max_broadcast_pairs: int = 5_000_000,
 ) -> DataFrame:
     """Full MinHash → LSH-banding → exact-Jaccard pipeline as ONE
     plan-tuned operator: ``(doc_a, doc_b, jaccard_bp)`` for every LSH
@@ -316,6 +317,17 @@ def minhash_lsh_pairs(
       occupancy — the LSH design invariant — so the build sides stay
       small at any corpus size; nothing pair-level ever shuffles the
       per-doc tables.
+    - DEGENERATE-CORPUS GUARD (r5): the LSH occupancy invariant is a
+      property of the DATA, not the algorithm — a templated corpus
+      where (nearly) every doc collides in every band makes the
+      candidate set O(n^2), and the forced broadcasts then OOM the
+      driver with an opaque Spark error (observed on a synthetic
+      all-near-identical 20k-doc lake). The candidate count is known
+      for free (``cands`` is persisted for its 2+ consumers anyway; the
+      count materializes that cache), so above ``max_broadcast_pairs``
+      the broadcast hints are dropped and AQE falls back to mergeable
+      shuffle joins — slower, but it completes and the caller gets the
+      same rows. Healthy corpora never hit the bound.
     """
     raw = _shingled(docs, id_col, text_col, k, distinct=False)
     aggs = [
@@ -324,6 +336,8 @@ def minhash_lsh_pairs(
     ]
     sigs = raw.groupBy(id_col).agg(*aggs)
     cands = track_persist(lsh_candidate_pairs(sigs, id_col=id_col))
+    n_cands = cands.count()  # materializes the persist its consumers reuse
+    bc = F.broadcast if n_cands <= max_broadcast_pairs else (lambda df: df)
     members = (
         cands.select(F.col("doc_a").alias(id_col))
         .union(cands.select(F.col("doc_b").alias(id_col)))
@@ -336,14 +350,14 @@ def minhash_lsh_pairs(
     # (for the signature aggregate); everything pair-level re-derives
     # from the pruned doc set. distinct() here is per-member-doc shingle
     # sets, needed for exact Jaccard set sizes.
-    m_docs = docs.join(F.broadcast(members), on=id_col, how="left_semi")
+    m_docs = docs.join(bc(members), on=id_col, how="left_semi")
     m_sh = track_persist(
         _shingled(m_docs, id_col, text_col, k, distinct=True).select(id_col, "h")
     )
     inter = (
-        F.broadcast(cands)
+        bc(cands)
         .join(m_sh.select(F.col(id_col).alias("doc_a"), "h"), on="doc_a")
-        .join(F.broadcast(m_sh.select(F.col(id_col).alias("doc_b"), "h")), on=["doc_b", "h"])
+        .join(bc(m_sh.select(F.col(id_col).alias("doc_b"), "h")), on=["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -351,7 +365,7 @@ def minhash_lsh_pairs(
     na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
     return (
-        F.broadcast(F.broadcast(inter).join(na, "doc_a"))
+        bc(bc(inter).join(na, "doc_a"))
         .join(nb, "doc_b")
         .select(
             "doc_a",

@@ -790,3 +790,17 @@ def test_decode_stats_survive_corrupt_payloads(spark):
     aud = {r["media_id"]: r["decode_ok"] for r in mm.decode_audio_stats(media).collect()}
     assert img == {1: False, 2: False, 3: False, 4: False}
     assert aud == {1: False, 2: False, 3: False, 4: False}
+
+
+def test_minhash_lsh_broadcast_guard_fallback_matches(spark):
+    """Above max_broadcast_pairs the pair joins drop their broadcast
+    hints (AQE shuffle joins complete instead of OOMing the driver on a
+    degenerate all-near-identical corpus) — and the rows must be
+    IDENTICAL to the broadcast path."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"the quick document number {i} talks about data and the pipeline")
+         for i in range(40)]
+    )
+    fast = sorted(map(tuple, dd.minhash_lsh_pairs(docs).collect()))
+    degraded = sorted(map(tuple, dd.minhash_lsh_pairs(docs, max_broadcast_pairs=1).collect()))
+    assert fast == degraded and len(fast) > 100  # templated docs: dense pair set
