@@ -256,28 +256,14 @@ comp AS (
 n2 AS (SELECT vec_id, SUM(q * q) AS n2 FROM comp GROUP BY vec_id)
 """
 
-@query(
-    "cosine_topk",
-    "WITH " + _SQL_COMP + """,
-    dots AS (
-      SELECT a.vec_id AS query_id, b.vec_id AS cand_id, SUM(a.q * b.q) AS dot
-      FROM comp a JOIN comp b ON a.pos = b.pos
-      WHERE a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
-      GROUP BY 1, 2
-    ),
-    scored AS (
-      SELECT query_id, cand_id, dot / (sqrt(qa.n2) * sqrt(qb.n2)) AS cos
-      FROM dots JOIN n2 qa ON qa.vec_id = query_id JOIN n2 qb ON qb.vec_id = cand_id
-    ),
-    r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
-          FROM scored)
-    SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank, cos FROM r WHERE rank <= 5
-    """,
-)
-def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 50 == 0)
-    return sim.cosine_topk(emb, queries, k=5)
+# The registered `cosine_topk` query was RETIRED in r6 (VERDICT r5 item
+# 3): it was the last corpus-proportional query slice (`vec_id % 50`), so
+# its measured cost grew quadratically with the corpus by construction.
+# The exact kernel (operators/similarity.py:cosine_topk) is unchanged and
+# still driver-verified every round INSIDE ann_recall_eval, which runs it
+# as the ground-truth baseline on the fixed lowest-100 query sample; the
+# production task surface (llm_tasks.py:llm_ann_query eval_recall=True)
+# uses the same fixed-count shape.
 
 
 # ---------------------------------------------------------------------------
@@ -903,6 +889,83 @@ def epoch_upsample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "split_leakage_check",
+    r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 60)) AS f
+      FROM documents
+    ),
+    comp AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY f) AS component_id FROM fp
+    ),
+    s AS (
+      SELECT doc_id, component_id,
+             CASE WHEN bp < 9000 THEN 'train'
+                  WHEN bp < 9500 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, component_id,
+               CAST(('0x' || substr(md5('split' || CAST(component_id AS VARCHAR)), 1, 10)) AS BIGINT) % 10000 AS bp
+        FROM comp)
+    ),
+    leak AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS leaked_groups FROM (
+        SELECT component_id FROM s GROUP BY component_id
+        HAVING COUNT(DISTINCT split) > 1)
+    )
+    SELECT s.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT s.component_id) AS BIGINT) AS n_groups,
+           l.leaked_groups
+    FROM s CROSS JOIN leak l
+    GROUP BY s.split, l.leaked_groups
+    """,
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The leakage-safe train/val/test split's INVARIANT under the
+    driver oracle (VERDICT r5 item 6): run
+    operators/curation.py:leakage_safe_split keyed by exact-dup
+    components (fingerprint -> min doc_id, the dedup_incremental
+    index shape), then report per-split doc/group counts plus the
+    global count of groups straddling >1 split. The split rule is the
+    engine's deterministic md5-bucket membership on the COMPONENT id,
+    so leaked_groups = 0 by construction — but the oracle recomputes
+    the assignment independently from the same public rule, so a
+    regression to doc-keyed splitting (the silent-leakage bug this
+    operator exists to prevent) flips the per-split doc counts and
+    fails the hash, not just the invariant column.
+
+    Scale shape: the component table is the dedup pipeline's existing
+    artifact (one hash-groupBy); the split itself is a broadcast-free
+    map-side bucket compare; the audit adds one countDistinct
+    aggregation over (component, split) — all hash aggregates, no
+    sort, no quadratic stage."""
+    from ..operators import curation as cu  # noqa: PLC0415
+
+    d = _docs(spark, sf_dir)
+    fp = d.select("doc_id", tx.prefix_fingerprint(F.col("text"), 60).alias("_f"))
+    comp = fp.join(
+        fp.groupBy("_f").agg(F.min("doc_id").alias("component_id")), on="_f"
+    ).select("doc_id", "component_id")
+    split = cu.leakage_safe_split(d, components=comp, seed="split")
+    j = split.join(comp, on="doc_id")
+    leaked = (
+        j.groupBy("component_id")
+        .agg(F.countDistinct("split").alias("_ns"))
+        .where(F.col("_ns") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("leaked_groups"))
+    )
+    return (
+        j.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("component_id").cast("long").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(leaked))
+    )
+
+
+@query(
     "training_shard_order",
     """
     WITH k AS (
@@ -1275,16 +1338,31 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # iteration count into chained CTEs over the same integer arithmetic.
 # ---------------------------------------------------------------------------
 
-def _sql_kmeans_ctes(k: int, iters: int) -> str:
+def _sql_kmeans_ctes(k: int | None, iters: int) -> str:
     """The unrolled-Lloyd CTE chain (comp, n2, seeds, c0, d1..a{iters});
     the final assignment lives in CTE ``a{iters}`` as (vec_id, cluster).
     Shared by kmeans_assign (reads it off directly) and semdedup_pairs
-    (joins pairs within the final clusters)."""
+    (joins pairs within the final clusters).
+
+    ``k=None`` derives k from the corpus IN-QUERY as ceil(sqrt(count))
+    — the scaled-k SemDeDup contract (semdedup_scaled_pairs): k only
+    appears as the seed-rank bound, so a scalar subquery parametrizes
+    the whole chain and every downstream CTE is k-agnostic. ceil of a
+    correctly-rounded IEEE sqrt equals ceil of the exact sqrt for all
+    counts below 2^52 (the gap between sqrt(n) and the nearest integer
+    is >= 1/(2*sqrt(n)+2), orders of magnitude above one ulp), so it
+    matches the Spark side's integer math.isqrt-derived k exactly."""
+    k_bound = (
+        str(k)
+        if k is not None
+        else "(SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) FROM embeddings)"
+    )
     parts = [
         "WITH " + _SQL_COMP.strip().rstrip(),
         f""",
-seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
-          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+seeds AS (SELECT vec_id, rn - 1 AS cluster FROM
+            (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings)
+          WHERE rn <= {k_bound}),
 c0 AS (SELECT s.cluster, p.pos, p.q AS cq FROM seeds s JOIN comp p ON p.vec_id = s.vec_id)""",
     ]
     for t in range(1, iters + 1):
@@ -1413,13 +1491,11 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-@query(
-    "semdedup_pairs",
-    # pair dots via zipped parallel unnests of the two row-fetched
-    # arrays (same shape rule as dedup_embedding_cosine — never
-    # self-join the exploded comp table on pos).
-    _sql_kmeans_ctes(k=32, iters=3)
-    + """,
+# Within-cluster pair scoring tail shared by the two SemDeDup oracles:
+# pair dots via zipped parallel unnests of the two row-fetched arrays
+# (same shape rule as dedup_embedding_cosine — never self-join the
+# exploded comp table on pos).
+_SQL_SEMDEDUP_TAIL = """,
     pairs AS (
       SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
       FROM a3 a JOIN a3 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
@@ -1436,7 +1512,12 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_a, doc_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
     FROM dots JOIN n2 na ON na.vec_id = doc_a JOIN n2 nb ON nb.vec_id = doc_b
     WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.25
-    """,
+    """
+
+
+@query(
+    "semdedup_pairs",
+    _sql_kmeans_ctes(k=32, iters=3) + _SQL_SEMDEDUP_TAIL,
 )
 def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: semantic near-dup pairs scored only within k-means
@@ -1452,6 +1533,39 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     clusters = cl.kmeans_assignments(emb, k=32, iters=3)
+    return sim.clustered_near_dup_pairs(emb, clusters, threshold=0.25)
+
+
+@query(
+    "semdedup_scaled_pairs",
+    _sql_kmeans_ctes(k=None, iters=3) + _SQL_SEMDEDUP_TAIL,
+)
+def semdedup_scaled_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the PRODUCTION k rule under the driver oracle
+    (VERDICT r5 item 4): k = ceil(sqrt(N)) instead of a fixed 32, so
+    expected per-cluster occupancy is ~sqrt(N) and total pair work is
+    Θ(N·sqrt(N)) — the balanced point between the trainer's N·k·dim
+    matmuls and the Σ occ² pair scoring, and the reason production
+    SemDeDup scales cluster count with the corpus instead of letting
+    per-cluster pair counts grow quadratically (semdedup_pairs
+    documents that failure mode at its oracle-fixed k=32; it stays
+    registered as this query's fixed-k tail twin).
+
+    The corpus count that derives k is the one non-declarative step —
+    a control-plane count, same class as the broadcast-guard count in
+    dedup_minhash_lsh. The oracle derives the SAME k in-query
+    (ceil(sqrt(count)) as the seed-rank bound — _sql_kmeans_ctes
+    k=None) and replays the identical integer-exact Lloyd rounds, so
+    the trained partition matches bit-for-bit at every corpus size;
+    math.isqrt keeps the Spark-side ceil exact (no float sqrt)."""
+    import math  # noqa: PLC0415
+
+    from ..operators import clustering as cl  # noqa: PLC0415
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = math.isqrt(n - 1) + 1 if n > 0 else 1  # ceil(sqrt(n)), integer-exact
+    clusters = cl.kmeans_assignments(emb, k=k, iters=3)
     return sim.clustered_near_dup_pairs(emb, clusters, threshold=0.25)
 
 

@@ -250,20 +250,6 @@ def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ≥1 driver row across rounds.
 DRIVER_WINDOW = 50
 _DEMOTE_LAST = [
-    # --- r3 rotations: r1+r2 double-green queries whose operator
-    # coverage is redundantly held in-window (see COVERED_BY) ---
-    "time_window_halfopen",
-    "customers_with_open_orders",
-    "sort_nulls_last_topk",
-    "top2_per_user",
-    "distinct_set_per_day",
-    "customers_without_orders",
-    "canonical_export",
-    "left_band_join",
-    "completeness_ratio",
-    "json_extract_filter",
-    "ledger_missing_dates",
-    "rollup_revenue",
     # --- r4 rotation (VERDICT r3 item 1): r3-green queries whose
     # families stay redundantly covered in-window ---
     "dedup_exact_groups",
@@ -299,11 +285,37 @@ _DEMOTE_LAST = [
     "streaming_hourly_distinct_users",  # d4-green; per-hour windowed agg via streaming_hourly_events
     "group_day_type",  # d1-d4 quadruple-green; grouped money agg via pricing_summary
     "computed_key_join",  # d1-d4 quadruple-green; computed/multi-key join via code_date_dim_join
-    "moving_avg_frame",  # d1-d4 quadruple-green; window frame agg via running_min (promoted)
-    "cosine_topk",  # d1-d4 quadruple-green; exact path runs inside ann_recall_eval
+    "moving_avg_frame",  # d1-d4 quadruple-green; window frame agg via quantile_quality_keep's cumulative histogram
     "dedup_embedding_cosine",  # d2-d4 triple-green; blocked-matmul near-dup via semdedup_pairs
     # Slot freed for streaming_upsert_snapshot (new in r5):
     "ann_ivf_topk",  # d1-d4 quadruple-green; deterministic-pivot IVF strictly covered by the trained persisted-index lifecycle query
+    # --- Round-6 rotation (VERDICT r5 item 1): the 12 tail queries whose
+    # newest driver verdict dated to r2 (two refactor generations old)
+    # were promoted back into the window: time_window_halfopen,
+    # customers_with_open_orders, sort_nulls_last_topk, top2_per_user,
+    # distinct_set_per_day, customers_without_orders, canonical_export,
+    # left_band_join, completeness_ratio, json_extract_filter,
+    # ledger_missing_dates, rollup_revenue. The registered cosine_topk
+    # query was RETIRED outright (VERDICT r5 item 3): the last
+    # corpus-proportional query slice; its exact kernel stays
+    # driver-verified inside ann_recall_eval. Slots came from the
+    # r5-verified one-shots below — the 11 queries r5 re-promoted for
+    # re-verification (all freshly green in CORRECTNESS_r05) plus the
+    # r5 newcomers, each with an in-window family twin:
+    "date_window_inclusive",  # d1+d5 double-green; date-window predicate via time_window_halfopen
+    "null_marker_todo",  # d1+d5; IS NULL filter ≡ null-filtered left join via customers_without_orders
+    "like_prefix",  # d1+d5; string-predicate filter via json_extract_filter
+    "enum_neq_counts",  # d1+d5; enum conditional counts via pricing_summary
+    "bbox_filter",  # d1+d5; geo predicate via nearest_point_per_user
+    "multikey_join",  # d1+d5; multi-key equi-join via code_date_dim_join
+    "exact_ts_join",  # d1+d5; code+ts equi-join via code_date_dim_join
+    "window_id_bounds",  # d1+d5; min/max extremes via first_last_durations
+    "running_min",  # d1+d5; window frame agg via quantile_quality_keep's cumulative histogram
+    "topk_recent",  # d1+d5; order-by+limit top-k via sort_nulls_last_topk
+    "first_last_by_seq",  # d1+d5; first/last-by-sequence via first_last_durations
+    "ann_ivf_persisted_topk",  # d5-green; _partitioned_probe kernel via ann_lsh_multiprobe_topk, trainer via kmeans_assign
+    "streaming_dedup_exact",  # d5-green; exact-fingerprint dedup vs index via dedup_incremental
+    "streaming_upsert_snapshot",  # d5-green; keyed latest-state stream via streaming_user_first_last
 ]
 
 # Auditable coverage ledger (VERDICT r3 item 8): every demoted query
@@ -315,18 +327,6 @@ _DEMOTE_LAST = [
 # local check_oracle gate every round and has >= 1 driver-green row in
 # some past round (the rotation policy above).
 COVERED_BY = {
-    "time_window_halfopen": "streaming_hourly_events",  # half-open ts predicate on events
-    "customers_with_open_orders": "dedup_incremental",  # semi/anti-join pair
-    "sort_nulls_last_topk": "first_last_durations",  # NULLS LAST ordering
-    "top2_per_user": "session_gaps",  # partitioned window per group
-    "distinct_set_per_day": "term_df_top20",  # distinct accumulation per group
-    "customers_without_orders": "dedup_incremental",  # anti-join
-    "canonical_export": "content_hash",  # same canonicalization stage
-    "left_band_join": "banded_priority_match",  # band-join family
-    "completeness_ratio": "pricing_summary",  # conditional-count ratio
-    "json_extract_filter": "ts_parse_roundtrip",  # scalar-function carrier family
-    "ledger_missing_dates": "dedup_incremental",  # anti-join against an index
-    "rollup_revenue": "pricing_summary",  # grouped money aggregate
     "dedup_exact_groups": "dedup_incremental",  # exact-fingerprint family
     "stratified_sample_counts": "reservoir_per_user",  # md5-bucket membership core
     "doc_chunks": "packed_batches",  # chunking family
@@ -343,10 +343,24 @@ COVERED_BY = {
     "streaming_hourly_distinct_users": "streaming_hourly_events",  # per-hour windowed agg
     "group_day_type": "pricing_summary",  # grouped conditional/money aggregate
     "computed_key_join": "code_date_dim_join",  # computed/multi-key equi-join
-    "moving_avg_frame": "running_min",  # running window frame aggregate
-    "cosine_topk": "ann_recall_eval",  # runs the exact cosine baseline internally
+    "moving_avg_frame": "quantile_quality_keep",  # window frame aggregate (cumulative histogram core)
     "dedup_embedding_cosine": "semdedup_pairs",  # blocked-matmul embedding near-dup
-    "ann_ivf_topk": "ann_ivf_persisted_topk",  # same probe kernel; trained centroids + parquet round-trip on top
+    "ann_ivf_topk": "ann_lsh_multiprobe_topk",  # same _partitioned_probe kernel; trainer via kmeans_assign
+    # r6 demotions:
+    "date_window_inclusive": "time_window_halfopen",  # date/ts window predicate family
+    "null_marker_todo": "customers_without_orders",  # IS NULL filter ≡ null-filtered left join / anti-join
+    "like_prefix": "json_extract_filter",  # string-predicate filter family
+    "enum_neq_counts": "pricing_summary",  # enum conditional counts
+    "bbox_filter": "nearest_point_per_user",  # geo predicate family
+    "multikey_join": "code_date_dim_join",  # multi-key equi-join
+    "exact_ts_join": "code_date_dim_join",  # code+ts equality join
+    "window_id_bounds": "first_last_durations",  # per-group min/max extremes
+    "running_min": "quantile_quality_keep",  # window frame aggregate (cumulative histogram core)
+    "topk_recent": "sort_nulls_last_topk",  # order-by + limit top-k
+    "first_last_by_seq": "first_last_durations",  # first/last endpoint family
+    "ann_ivf_persisted_topk": "ann_lsh_multiprobe_topk",  # shared one-pass _partitioned_probe; trainer via kmeans_assign
+    "streaming_dedup_exact": "dedup_incremental",  # exact-fingerprint dedup against an index
+    "streaming_upsert_snapshot": "streaming_user_first_last",  # keyed latest-state streaming aggregate
 }
 
 
