@@ -288,7 +288,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
-    max_broadcast_pairs: int = 5_000_000,
+    max_broadcast_pairs: int | None = 5_000_000,
 ) -> DataFrame:
     """Full MinHash → LSH-banding → exact-Jaccard pipeline as ONE
     plan-tuned operator: ``(doc_a, doc_b, jaccard_bp)`` for every LSH
@@ -328,6 +328,16 @@ def minhash_lsh_pairs(
       the broadcast hints are dropped and AQE falls back to mergeable
       shuffle joins — slower, but it completes and the caller gets the
       same rows. Healthy corpora never hit the bound.
+      ``max_broadcast_pairs=None`` skips the count and keeps the
+      unconditional broadcasts (the pre-guard build); it exists so the
+      guard's cost could be measured. r6 interleaved paired A/B
+      (tools/ab_probe.py protocol): the guarded build is FASTER, not
+      just free — median paired delta -0.75 s at sf0.1 (5/5 rounds)
+      and -3.1 s at sf1 (4/4) — because the count materializes the
+      persist in one dedicated job before any consumer runs, while the
+      lazy-persist path lets each eager broadcast build re-derive the
+      corpus-wide candidate subtree before the cache is populated.
+      Keep the count; never pass None on a hot path.
     """
     raw = _shingled(docs, id_col, text_col, k, distinct=False)
     aggs = [
@@ -336,8 +346,11 @@ def minhash_lsh_pairs(
     ]
     sigs = raw.groupBy(id_col).agg(*aggs)
     cands = track_persist(lsh_candidate_pairs(sigs, id_col=id_col))
-    n_cands = cands.count()  # materializes the persist its consumers reuse
-    bc = F.broadcast if n_cands <= max_broadcast_pairs else (lambda df: df)
+    if max_broadcast_pairs is None:
+        bc = F.broadcast
+    else:
+        n_cands = cands.count()  # materializes the persist its consumers reuse
+        bc = F.broadcast if n_cands <= max_broadcast_pairs else (lambda df: df)
     members = (
         cands.select(F.col("doc_a").alias(id_col))
         .union(cands.select(F.col("doc_b").alias(id_col)))
