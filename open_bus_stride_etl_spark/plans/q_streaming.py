@@ -75,8 +75,15 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
 # available rather than a box constant). Production streams size this
 # to the cluster (state-store count is fixed at first checkpoint); the
 # scope restores the caller's value in `finally`.
+#
+# `stride.streaming.widthCeiling` (runtime conf) overrides the
+# defaultParallelism ceiling — the production knob for sizing the
+# state-store count to PLANNED capacity rather than the cores present
+# at first checkpoint (state width cannot change after that), and the
+# lever the SCALE30 width-sensitivity probe uses.
 _STREAM_PART_BYTES = 8 << 20
 _STREAM_PART_MIN = 8
+_STREAM_CEILING_CONF = "stride.streaming.widthCeiling"
 
 
 def _stream_partitions(src_dir: str, spark: SparkSession) -> int:
@@ -87,6 +94,9 @@ def _stream_partitions(src_dir: str, spark: SparkSession) -> int:
         except OSError:
             pass
     ceiling = max(_STREAM_PART_MIN, spark.sparkContext.defaultParallelism)
+    override = spark.conf.get(_STREAM_CEILING_CONF, None)
+    if override:
+        ceiling = max(_STREAM_PART_MIN, int(override))
     return max(_STREAM_PART_MIN, min(ceiling, -(-size // _STREAM_PART_BYTES)))
 
 

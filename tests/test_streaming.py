@@ -233,3 +233,36 @@ def test_stream_session_windows_match_batch(spark, tables, loc_stream_dir):
     want = sessions(tables["siri_vehicle_location"])
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert got.count() > 0
+
+
+def test_stream_partitions_sizing(spark, tmp_path):
+    """State-shuffle width follows the bounded source's byte volume:
+    min-clamped for toy inputs, one partition per ~8 MB in between,
+    ceiling-clamped at defaultParallelism — and the
+    `stride.streaming.widthCeiling` runtime conf (the production knob
+    for sizing state-store count to planned capacity) raises that
+    ceiling without touching the data-sized width below it."""
+    from open_bus_stride_etl_spark.plans.q_streaming import (
+        _STREAM_CEILING_CONF,
+        _stream_partitions,
+    )
+
+    d = tmp_path / "src"
+    d.mkdir()
+    (d / "tiny.parquet").write_bytes(b"x" * 1024)
+    assert _stream_partitions(str(d), spark) == 8  # min clamp
+
+    (d / "mid.parquet").write_bytes(b"x" * (96 << 20))
+    par = max(8, spark.sparkContext.defaultParallelism)
+    assert _stream_partitions(str(d), spark) == min(par, 13)  # ceil(96MB+1KB / 8MB), ceiling-capped
+
+    (d / "big.parquet").write_bytes(b"x" * (900 << 20))
+    assert _stream_partitions(str(d), spark) == par  # ceiling binds (125 > cores)
+
+    spark.conf.set(_STREAM_CEILING_CONF, "120")
+    try:
+        assert _stream_partitions(str(d), spark) == 120  # raised ceiling, width still data-bound
+        spark.conf.set(_STREAM_CEILING_CONF, "4")
+        assert _stream_partitions(str(d), spark) == 8  # override never drops below the min
+    finally:
+        spark.conf.unset(_STREAM_CEILING_CONF)

@@ -1,0 +1,65 @@
+"""Box-speed canary: a 10-second pure-CPU probe that detects external
+(hypervisor-neighbor) contention that neither load average nor guest
+steal time shows.
+
+r6 finding: two back-to-back full bench runs taken at load avg 0.04
+with zero local processes came out 20-40% inflated on every heavy
+query, with the two runs disagreeing with EACH OTHER by +-40% per
+query minutes apart — while trivial queries matched older rounds.
+The r5-documented BLAS probe kernel (32 workers x 60 matmuls of
+10000x64 @ 64x512, OPENBLAS_NUM_THREADS=1; idle-box reference
+4.27-4.37 s, CLAUDE.md) measured 5.87 s at that moment and drifted
+back to 4.04 s over the following minutes: the box's raw CPU
+throughput was down ~35% with nothing visible in uptime/vmstat.
+
+Protocol: run this before AND after any bench/scale measurement.
+Both brackets <= FAST_S -> the window was clean, keep the numbers.
+Either bracket above -> the measurement is contaminated; rerun later.
+
+Usage:
+    python tools/box_canary.py            # one probe, prints seconds + verdict
+    python tools/box_canary.py --wait     # poll until a fast window, then exit 0
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+
+FAST_S = 4.6  # idle-box reference 4.27-4.37 s + measurement slack
+
+
+def probe() -> float:
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    a = np.random.rand(10000, 64)
+    b = np.random.rand(64, 512)
+
+    def work(_):
+        for _ in range(60):
+            a @ b
+
+    t0 = time.time()
+    with ThreadPoolExecutor(32) as ex:
+        list(ex.map(work, range(32)))
+    return time.time() - t0
+
+
+def main() -> None:
+    wait = "--wait" in sys.argv
+    while True:
+        s = probe()
+        fast = s <= FAST_S
+        print(f"canary: {s:.2f}s ({'FAST' if fast else 'CONTENDED'}; fast <= {FAST_S})", flush=True)
+        if fast or not wait:
+            sys.exit(0 if fast else 1)
+        time.sleep(60)
+
+
+if __name__ == "__main__":
+    main()
