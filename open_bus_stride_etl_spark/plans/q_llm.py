@@ -935,31 +935,42 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator exists to prevent) flips the per-split doc counts and
     fails the hash, not just the invariant column.
 
-    Scale shape: the component table is the dedup pipeline's existing
-    artifact (one hash-groupBy); the split itself is a broadcast-free
-    map-side bucket compare; the audit adds one countDistinct
-    aggregation over (component, split) — all hash aggregates, no
-    sort, no quadratic stage."""
+    Scale shape: components come from a window-min over the
+    fingerprint partition (one corpus shuffle — no fingerprint
+    self-join), and the whole audit collapses into ONE
+    (component, split) hash aggregate, persisted slim (two longs + an
+    enum per near-dup group); both outputs — the per-split rollup and
+    the global leaked-group count — are derived from that aggregate,
+    so the corpus is never re-scanned per output branch (the first
+    formulation re-derived the split subtree under each consumer: 10
+    parquet scans of `documents` in the plan)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
     from ..operators import curation as cu  # noqa: PLC0415
+    from ..operators.util import track_persist  # noqa: PLC0415
 
     d = _docs(spark, sf_dir)
     fp = d.select("doc_id", tx.prefix_fingerprint(F.col("text"), 60).alias("_f"))
-    comp = fp.join(
-        fp.groupBy("_f").agg(F.min("doc_id").alias("component_id")), on="_f"
-    ).select("doc_id", "component_id")
+    comp = fp.select(
+        "doc_id", F.min("doc_id").over(Window.partitionBy("_f")).alias("component_id")
+    )
     split = cu.leakage_safe_split(d, components=comp, seed="split")
-    j = split.join(comp, on="doc_id")
+    g = track_persist(
+        split.join(comp, on="doc_id")
+        .groupBy("component_id", "split")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
     leaked = (
-        j.groupBy("component_id")
-        .agg(F.countDistinct("split").alias("_ns"))
+        g.groupBy("component_id")
+        .agg(F.count(F.lit(1)).alias("_ns"))
         .where(F.col("_ns") > 1)
         .agg(F.count(F.lit(1)).cast("long").alias("leaked_groups"))
     )
     return (
-        j.groupBy("split")
+        g.groupBy("split")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.countDistinct("component_id").cast("long").alias("n_groups"),
+            F.sum("_n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
         )
         .crossJoin(F.broadcast(leaked))
     )
