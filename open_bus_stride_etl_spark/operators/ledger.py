@@ -22,21 +22,30 @@ def missing_dates(
     task_name: str | None = None,
 ) -> DataFrame:
     """Units that need (re)processing for ``task_name``: never attempted,
-    or attempted without recorded success (tri-state: false OR null)."""
+    or attempted without recorded success (tri-state: false OR null).
+
+    One left join expresses the whole tri-state rule (the original
+    anti-join ∪ filtered-semi-join formulation walked both inputs
+    twice — 8 scans in the registered query's plan). A presence marker
+    distinguishes "no ledger row" from "ledger row with NULL success",
+    both of which read as NULL after the outer join; any failing row
+    keeps the unit (the semi-join's any-match semantics), and the
+    final distinct collapses duplicate ledger attempts."""
     led = ledger
     if task_name is not None:
         led = led.where(F.col(task_col) == F.lit(task_name))
-    never = all_units.select(unit_col).join(
-        led.select(unit_col), on=unit_col, how="left_anti"
+    j = all_units.select(unit_col).join(
+        led.select(unit_col, success_col).withColumn("_present", F.lit(True)),
+        on=unit_col,
+        how="left",
     )
-    failed = (
-        all_units.select(unit_col)
-        .join(
-            led.where(F.col(success_col).isNull() | (F.col(success_col) == F.lit(False))).select(
-                unit_col
-            ),
-            on=unit_col,
-            how="left_semi",
+    return (
+        j.where(
+            F.col("_present").isNull()
+            | F.col(success_col).isNull()
+            | (F.col(success_col) == F.lit(False))
         )
+        .select(unit_col)
+        .distinct()
+        .orderBy(F.col(unit_col).desc())
     )
-    return never.union(failed).distinct().orderBy(F.col(unit_col).desc())
