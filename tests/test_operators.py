@@ -105,6 +105,24 @@ def test_missing_dates_tristate(spark):
     assert out == ["d", "c", "a"]  # desc order, 'b' succeeded
 
 
+def test_missing_dates_any_match_and_other_task(spark):
+    # Duplicate ledger attempts: ANY failing/null row keeps the unit
+    # (semi-join semantics), even next to a success row; exactly one
+    # output row per unit; rows for other tasks are invisible.
+    all_units = spark.createDataFrame([Row(date=d) for d in ["a", "b", "c"]])
+    ledger = spark.createDataFrame(
+        [
+            Row(date="a", task_name="t", success=True),
+            Row(date="a", task_name="t", success=False),  # retry failed -> redo
+            Row(date="b", task_name="t", success=True),
+            Row(date="b", task_name="t", success=True),  # double success -> done
+            Row(date="c", task_name="other", success=True),  # wrong task -> never ran
+        ]
+    )
+    out = [r["date"] for r in missing_dates(all_units, ledger, task_name="t").collect()]
+    assert out == ["c", "a"]
+
+
 def test_nearest_by_distance_ties_and_nulls(spark):
     df = spark.createDataFrame(
         [
