@@ -188,17 +188,26 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Docs sharing any LSH band bucket (bands of 2 rows over m0..m7).
-    Equi-join on (band, bucket) — the scale path: candidates are linear
-    in bucket occupancy, not quadratic in corpus size."""
+def band_buckets(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, bucket): one row per LSH band (bands of 2 rows over m0..m7,
+    band index baked into the bucket key so bands never cross-match).
+    This is the join key space for every LSH consumer — candidate
+    pairing (lsh_candidate_pairs), and the persisted seen-corpus index
+    the streaming near-dup path probes (q_streaming.streaming_dedup_lsh)."""
     bands = F.array(
         *[
             F.concat_ws("_", F.lit(i), F.col(f"m{2 * i}"), F.col(f"m{2 * i + 1}"))
             for i in range(N_BANDS)
         ]
     )
-    keyed = signatures.select(F.col(id_col), F.explode(bands).alias("bucket"))
+    return signatures.select(F.col(id_col), F.explode(bands).alias("bucket"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Docs sharing any LSH band bucket (bands of 2 rows over m0..m7).
+    Equi-join on (band, bucket) — the scale path: candidates are linear
+    in bucket occupancy, not quadratic in corpus size."""
+    keyed = band_buckets(signatures, id_col)
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..session import configure
+from .q_llm import _SQL_BUCKETS, _SQL_MINHASH, _SQL_SHINGLES
 from .registry import query
 
 
@@ -652,3 +653,122 @@ def streaming_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(src_dir, ignore_errors=True)
     return out
+
+
+def _run_foreach_batch(
+    stream_df: DataFrame,
+    batch_fn,
+    out_schema,
+    spark: SparkSession,
+    src_dir: str,
+) -> DataFrame:
+    """availableNow ``foreachBatch`` runner: ``batch_fn(batch_df)`` maps
+    each micro-batch to a result DataFrame, appended to a parquet out
+    dir; the union of all batches is read back with the KNOWN schema
+    (zero-row safe) and re-materialized as localCheckpoint blocks —
+    the same self-contained-result contract as ``_run_to_parquet``.
+    ``foreachBatch`` is the production sink for per-batch logic the
+    declarative stream operators can't express (joins against persisted
+    index artifacts, multi-step batch plans) without tripping the
+    chained-stateful-operator restrictions."""
+    name = f"q_stream_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    out_dir = tempfile.mkdtemp(prefix=f"out_{name}_")
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_fn(batch_df).write.mode("append").parquet(out_dir)
+
+    try:
+        with _stream_shuffle_scope(spark, src_dir):
+            q = (
+                stream_df.writeStream.foreachBatch(_sink)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            _await_or_raise(q)
+        out = spark.read.schema(out_schema).parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(src_dir, ignore_errors=True)
+    return out
+
+
+@query(
+    "streaming_dedup_lsh",
+    "WITH "
+    + _SQL_SHINGLES
+    + ", "
+    + _SQL_MINHASH
+    + ", "
+    + _SQL_BUCKETS
+    + """,
+    idx AS (SELECT DISTINCT bucket FROM buckets WHERE doc_id % 5 = 0),
+    stream_b AS (SELECT doc_id, bucket FROM buckets WHERE doc_id % 5 <> 0)
+    SELECT s.doc_id, CAST(COUNT(i.bucket) AS BIGINT) AS n_bands_hit
+    FROM stream_b s LEFT JOIN idx i ON i.bucket = s.bucket
+    GROUP BY s.doc_id
+    """,
+)
+def streaming_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup suppression against a PERSISTED seen-corpus
+    LSH band index — the continuous-ingest shape of a training-data
+    pipeline: the crawler streams new documents, and each one is
+    admitted only if none of its MinHash band buckets collides with the
+    already-curated corpus. Upgrades the exact-fingerprint pair
+    (dedup_incremental's batch anti-join, streaming_dedup_exact's
+    watermarked state) to NEAR-dup matching, and exercises the full
+    index lifecycle like ann_ivf_persisted_topk: build band buckets for
+    the seen fifth of the corpus (doc_id % 5 = 0) -> write the bucket
+    set to parquet -> reload -> probe it per micro-batch.
+
+    Per batch (``foreachBatch`` — the production sink for index-probe
+    logic, which as a declarative stream would chain a stateful
+    aggregation into a join): MinHash signatures (one shuffle over the
+    batch's shingles), band-bucket explode, equi-join against the
+    reloaded index (AQE broadcasts it while it is small; at scale the
+    bucket set is a plain shuffle join key — never an all-pairs
+    comparison), and a per-doc hit count. Emitted: EVERY stream doc
+    with its ``n_bands_hit`` (novel = 0 hits), so the oracle hash
+    covers the whole join, not just the accept set. Each doc's verdict
+    depends only on itself and the static index, so the result is
+    batching-invariant (oracle-deterministic however the file source
+    splits triggers). Production additionally appends each batch's
+    novel buckets back to the index so later arrivals dedup against
+    earlier ones — correct but arrival-order-dependent, so the
+    harness query keeps the index static; docs with no shingles
+    (< k words) carry no bucket and are absent by contract on both
+    engines."""
+    from ..operators import dedup as dd  # noqa: PLC0415
+    from ..sources.lake import load_table  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents")
+    seen = d.where(F.col("doc_id") % 5 == 0)
+    idx_dir = tempfile.mkdtemp(prefix="lsh_index_")
+    try:
+        dd.band_buckets(dd.minhash_signatures(seen)).select(
+            "bucket"
+        ).distinct().write.mode("overwrite").parquet(idx_dir)
+        idx = spark.read.parquet(idx_dir).withColumn("_hit", F.lit(1))
+
+        raw, src_dir = _table_stream(spark, sf_dir, "documents")
+        stream = raw.where(F.col("doc_id") % 5 != 0)
+
+        def _score(batch: DataFrame) -> DataFrame:
+            buckets = dd.band_buckets(dd.minhash_signatures(batch))
+            return (
+                buckets.join(idx, on="bucket", how="left")
+                .groupBy("doc_id")
+                .agg(F.count("_hit").cast("long").alias("n_bands_hit"))
+            )
+
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("n_bands_hit", T.LongType()),
+            ]
+        )
+        return _run_foreach_batch(stream, _score, out_schema, spark, src_dir)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)

@@ -316,6 +316,10 @@ _DEMOTE_LAST = [
     "ann_ivf_persisted_topk",  # d5-green; _partitioned_probe kernel via ann_lsh_multiprobe_topk, trainer via kmeans_assign
     "streaming_dedup_exact",  # d5-green; exact-fingerprint dedup vs index via dedup_incremental
     "streaming_upsert_snapshot",  # d5-green; keyed latest-state stream via streaming_user_first_last
+    # --- mid-r6: slot freed for streaming_dedup_lsh (persisted band
+    # index + foreachBatch probe — the near-dup superset of the
+    # incremental-vs-seen-index family) ---
+    "dedup_incremental",  # d5-green; seen-index anti/probe join via streaming_dedup_lsh
 ]
 
 # Auditable coverage ledger (VERDICT r3 item 8): every demoted query
@@ -327,7 +331,7 @@ _DEMOTE_LAST = [
 # local check_oracle gate every round and has >= 1 driver-green row in
 # some past round (the rotation policy above).
 COVERED_BY = {
-    "dedup_exact_groups": "dedup_incremental",  # exact-fingerprint family
+    "dedup_exact_groups": "split_leakage_check",  # exact-fingerprint components (fingerprint -> min-doc_id groupBy) built in-query there
     "stratified_sample_counts": "reservoir_per_user",  # md5-bucket membership core
     "doc_chunks": "packed_batches",  # chunking family
     "lang_id": "text_quality",  # pure-column text family
@@ -359,8 +363,9 @@ COVERED_BY = {
     "topk_recent": "sort_nulls_last_topk",  # order-by + limit top-k
     "first_last_by_seq": "first_last_durations",  # first/last endpoint family
     "ann_ivf_persisted_topk": "ann_lsh_multiprobe_topk",  # shared one-pass _partitioned_probe; trainer via kmeans_assign
-    "streaming_dedup_exact": "dedup_incremental",  # exact-fingerprint dedup against an index
+    "streaming_dedup_exact": "streaming_dedup_lsh",  # streaming dedup-vs-index family (near-dup superset in-window)
     "streaming_upsert_snapshot": "streaming_user_first_last",  # keyed latest-state streaming aggregate
+    "dedup_incremental": "streaming_dedup_lsh",  # seen-index probe join (exact anti-join ⊂ band-bucket probe)
 }
 
 

@@ -266,3 +266,43 @@ def test_stream_partitions_sizing(spark, tmp_path):
         assert _stream_partitions(str(d), spark) == 8  # override never drops below the min
     finally:
         spark.conf.unset(_STREAM_CEILING_CONF)
+
+
+def test_streaming_dedup_lsh_verdicts(spark, tmp_path):
+    """The persisted-index near-dup probe: a stream doc identical to an
+    indexed doc hits all 4 bands; a lightly-edited near-dup still hits
+    >= 1 band; unrelated prose hits 0 (novel). Runs the REAL streaming
+    query path (foreachBatch against a reloaded parquet index) on a
+    synthetic corpus written in the test-table layout."""
+    import __spark_entry__ as m
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest to hide from every hunter"
+    )
+    docs = [
+        # doc_id % 5 == 0 -> seen index
+        (0, base),
+        (5, "completely different seed text about spark shuffles and "
+            "partition pruning strategies for columnar scan engines"),
+        # stream side
+        (1, base),                                   # exact copy of doc 0
+        (2, base.replace("hunter", "ranger")),       # near-dup of doc 0
+        (3, "unrelated short essay regarding the migration patterns of "
+            "arctic terns across hemispheres during equinox seasons"),
+    ]
+    d = tmp_path / "lake"
+    d.mkdir()
+    # test-table layout: documents.parquet is a single FILE, not a dir
+    staged = str(tmp_path / "staged")
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(1).write.parquet(staged)
+    part = [f for f in os.listdir(staged) if f.startswith("part-")][0]
+    os.rename(os.path.join(staged, part), str(d / "documents.parquet"))
+    out = {
+        r["doc_id"]: r["n_bands_hit"]
+        for r in m.queries()["streaming_dedup_lsh"](spark, str(d)).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1] == 4          # identical -> every band collides
+    assert out[2] >= 1          # near-dup -> banding catches it
+    assert out[3] == 0          # novel
