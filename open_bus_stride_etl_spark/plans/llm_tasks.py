@@ -424,3 +424,101 @@ def llm_export_training_shards(
         "seed": seed,
         "out_dir": out,
     }
+
+
+@task("llm-stream-ingest-dedup", cadence="hourly", max_files_per_trigger=0)
+def llm_stream_ingest_dedup(
+    spark: SparkSession,
+    base_dir: str,
+    in_dir: str | None = None,
+    index_dir: str | None = None,
+    out_dir: str | None = None,
+    max_files_per_trigger: int = 0,
+) -> dict:
+    """CONTINUOUS-INGEST near-dup suppression with index append-back —
+    the production (order-dependent) variant of the oracle-checked
+    streaming_dedup_lsh query (plans/q_streaming.py), which keeps its
+    index static for batching-invariant determinism. Here each
+    micro-batch (a) probes the persisted LSH band index, (b) admits
+    only docs with ZERO band collisions, and (c) appends the admitted
+    docs' buckets back to the index — so a near-dup arriving in a LATER
+    batch is suppressed by an EARLIER batch's novel doc, which a static
+    index cannot do. Within one batch, near-dup siblings are both
+    admitted (and both indexed); the batch is the admission quantum —
+    the crawler controls the trade by sizing triggers.
+
+    Replay idempotence: ``foreachBatch`` re-delivers the in-flight
+    batch after a crash, so both sinks write to ``batch=<id>``
+    subdirectories with overwrite — a replayed batch rewrites its own
+    files instead of duplicating rows (the same contract as the keyed
+    upsert sink's staging swap). Duplicate BUCKET rows would be
+    harmless (the probe is a semi-join) but get the same treatment for
+    free. The checkpoint lives under ``base_dir`` so a restarted task
+    resumes from the unprocessed files.
+
+    Scale shape: per batch, one shuffle over the batch's shingles
+    (MinHash aggregation) and one equi-join against the index on the
+    band-bucket key — never an all-pairs comparison; the index is a
+    bucket SET (one slim column), read fresh each batch so the
+    append-back is visible. Admitted docs land as parquet (text and
+    all); the lake-compaction task owns the small-file debt both sinks
+    accrue."""
+    import os  # noqa: PLC0415
+
+    configure(spark)
+
+    src = in_dir or f"{base_dir}/ingest"
+    idx_dir = index_dir or f"{base_dir}/lsh_band_index"
+    dst = out_dir or f"{base_dir}/ingested_documents"
+    ckpt = f"{base_dir}/ingest_ckpt"
+
+    schema = spark.read.parquet(src).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src)
+
+    totals = {"n_ingested": 0, "n_novel": 0, "n_batches": 0}
+
+    def _admit(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.localCheckpoint(eager=True)  # two consumers below
+        buckets = dd.band_buckets(dd.minhash_signatures(batch))
+        have_index = any(
+            f.startswith("batch=") for f in os.listdir(idx_dir)
+        ) if os.path.isdir(idx_dir) else False
+        if have_index:
+            idx = spark.read.option("basePath", idx_dir).parquet(f"{idx_dir}/batch=*")
+            hit_docs = buckets.join(idx, on="bucket", how="left_semi").select("doc_id").distinct()
+            novel = batch.join(hit_docs, on="doc_id", how="left_anti").localCheckpoint(eager=True)
+        else:
+            novel = batch
+        novel.write.mode("overwrite").parquet(f"{dst}/batch={batch_id}")
+        (
+            buckets.join(novel.select("doc_id"), on="doc_id", how="left_semi")
+            .select("bucket")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(f"{idx_dir}/batch={batch_id}")
+        )
+        totals["n_ingested"] += batch.count()
+        totals["n_novel"] += novel.count()
+        totals["n_batches"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(_admit)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("llm-stream-ingest-dedup did not finish within 600s")
+
+    return {
+        "n_batches": totals["n_batches"],
+        "n_ingested": totals["n_ingested"],
+        "n_novel": totals["n_novel"],
+        "n_suppressed": totals["n_ingested"] - totals["n_novel"],
+        "out_dir": dst,
+        "index_dir": idx_dir,
+    }

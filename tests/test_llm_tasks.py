@@ -218,3 +218,44 @@ def test_export_training_shards(spark, lake, tmp_path):
              vocab_size=10, n_shards=4, seed="ep1", out_dir=out3)
     c = sorted(map(tuple, spark.read.parquet(out3).select("doc_id", "shard", "pos").collect()))
     assert c != a  # different epoch seed permutes shard/pos assignment
+
+
+def test_stream_ingest_dedup_appends_index(spark, tmp_path):
+    """The production ingest loop: batch 2's near-dup of a doc admitted
+    in batch 1 is suppressed BECAUSE the index grew (the static-index
+    query can't do this); a rerun of the task is a no-op (checkpoint
+    resume, no re-admission); replay-idempotent batch=<id> sinks."""
+    import os
+
+    base = str(tmp_path / "base")
+    src = f"{base}/ingest"
+    os.makedirs(src)
+    b1 = [Row(doc_id=10, text=GOOD)]
+    b2 = [
+        Row(doc_id=20, text=GOOD + " one extra tail"),  # near-dup of 10 -> suppressed
+        Row(doc_id=21, text="completely different essay about arctic tern "
+                            "migration across hemispheres during equinox and "
+                            "solstice seasons every single year")
+    ]
+    for i, rows in enumerate([b1, b2]):
+        staged = str(tmp_path / f"s{i}")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(staged)
+        part = [f for f in os.listdir(staged) if f.startswith("part-")][0]
+        dstf = f"{src}/{i:02d}.parquet"
+        os.rename(os.path.join(staged, part), dstf)
+        os.utime(dstf, (1700000000 + i * 100, 1700000000 + i * 100))
+
+    m = run_task(spark, "llm-stream-ingest-dedup", base_dir=base, max_files_per_trigger=1)
+    assert m["n_batches"] == 2
+    assert m["n_ingested"] == 3
+    assert m["n_novel"] == 2 and m["n_suppressed"] == 1
+    out = spark.read.parquet(m["out_dir"])
+    assert sorted(r["doc_id"] for r in out.collect()) == [10, 21]
+    # index holds both admitted docs' buckets (4 bands each, distinct)
+    idx = spark.read.parquet(f"{m['index_dir']}/batch=*")
+    assert idx.select("bucket").distinct().count() == 8
+
+    # rerun: checkpoint says everything is processed -> zero new batches
+    m2 = run_task(spark, "llm-stream-ingest-dedup", base_dir=base, max_files_per_trigger=1)
+    assert m2["n_batches"] == 0 and m2["n_ingested"] == 0
+    assert sorted(r["doc_id"] for r in spark.read.parquet(m["out_dir"]).collect()) == [10, 21]
