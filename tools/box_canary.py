@@ -29,7 +29,11 @@ import time
 
 os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
 
-FAST_S = 4.6  # idle-box reference 4.27-4.37 s + measurement slack
+FAST_S = float(os.environ.get("BOX_CANARY_FAST", "4.6"))
+# default: idle-box reference 4.27-4.37 s + measurement slack. Override
+# (BOX_CANARY_FAST=5.0) to accept a mildly-degraded window when the
+# measurement tolerates a known ~10% deficit — the brackets always
+# record the exact reading, so the annotation stays honest.
 
 
 def probe() -> float:
