@@ -129,3 +129,31 @@ def test_flat_export_plan_is_broadcast_only(spark, sf_dir):
         if "Exchange" in line and "ReusedExchange" not in line and "BroadcastExchange" not in line
     )
     assert n_exchange == 0, f"unexpected shuffle Exchange in flat_export plan:\n{plan}"
+
+
+def test_single_pass_audit_plan_canaries(spark, sf_dir):
+    """The r6 plan-slimming wins must not regress: both audit-shaped
+    queries once re-derived their corpus subtree under every output
+    branch (split_leakage_check: 10 parquet scans; ledger_missing_dates:
+    8). Scan counts are the noise-immune regression signal — a bump
+    here means a consumer started recomputing the corpus again."""
+    from open_bus_stride_etl_spark.plans import registry
+
+    qs = registry.queries()
+
+    plan = _explain(qs["ledger_missing_dates"](spark, sf_dir))
+    n_scans = plan.count("Scan parquet")
+    assert n_scans <= 4, f"ledger_missing_dates re-grew to {n_scans} scans:\n{plan}"
+
+    plan2 = _explain(qs["split_leakage_check"](spark, sf_dir))
+    # the (component, split) aggregate must be materialized ONCE and
+    # consumed from cache by both output branches...
+    n_consumers = plan2.count("InMemoryTableScan")
+    assert n_consumers >= 2, f"audit aggregate not shared:\n{plan2}"
+    # ...and the explain re-renders the cached subtree under every
+    # InMemoryRelation mention, so the regression signal is scans PER
+    # RENDER: the real subtree holds 3 parquet scans (docs + the two
+    # component/fingerprint passes), not the 10 of the pre-r6 plan.
+    renders = max(1, plan2.count("InMemoryRelation"))
+    per_render = plan2.count("Scan parquet") / renders
+    assert per_render <= 3, f"split_leakage_check subtree re-grew to {per_render}/render:\n{plan2}"
