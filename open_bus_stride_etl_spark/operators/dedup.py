@@ -541,7 +541,9 @@ def _derived_finish_bound(spark) -> int:
         if s and s[-1] in units:
             heap = int(float(s[:-1]) * units[s[-1]])
         else:
-            heap = int(s)  # plain bytes
+            # Spark treats a suffix-less spark.driver.memory as MiB
+            # (JavaUtils.byteStringAsMb), not bytes: '8192' means 8 GiB.
+            heap = int(s) << 20
     except ValueError:
         heap = 1 << 30
     return max(500_000, min(heap // 2048, 16_000_000))

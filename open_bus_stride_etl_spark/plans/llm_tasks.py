@@ -487,7 +487,18 @@ def llm_stream_ingest_dedup(
             f.startswith("batch=") for f in os.listdir(idx_dir)
         ) if os.path.isdir(idx_dir) else False
         if have_index:
-            idx = spark.read.option("basePath", idx_dir).parquet(f"{idx_dir}/batch=*")
+            # Crash-replay guard: foreachBatch re-delivers the in-flight
+            # batch, whose OWN batch=<id> index partition may already
+            # exist from the crashed attempt. Probing it would make the
+            # batch's docs hit their own buckets — novel goes empty and
+            # the overwrite erases the previously-admitted rows. The
+            # basePath read surfaces the `batch` partition column, so
+            # exclude the in-flight id before the semi-join.
+            idx = (
+                spark.read.option("basePath", idx_dir)
+                .parquet(f"{idx_dir}/batch=*")
+                .where(F.col("batch") != F.lit(int(batch_id)))
+            )
             hit_docs = buckets.join(idx, on="bucket", how="left_semi").select("doc_id").distinct()
             novel = batch.join(hit_docs, on="doc_id", how="left_anti").localCheckpoint(eager=True)
         else:

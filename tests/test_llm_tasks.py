@@ -259,3 +259,38 @@ def test_stream_ingest_dedup_appends_index(spark, tmp_path):
     m2 = run_task(spark, "llm-stream-ingest-dedup", base_dir=base, max_files_per_trigger=1)
     assert m2["n_batches"] == 0 and m2["n_ingested"] == 0
     assert sorted(r["doc_id"] for r in spark.read.parquet(m["out_dir"]).collect()) == [10, 21]
+
+
+def test_stream_ingest_dedup_replay_excludes_own_partition(spark, tmp_path):
+    """Crash-replay: foreachBatch re-delivers batch 0 after its own
+    batch=0 index partition was already written by the crashed attempt.
+    The probe must EXCLUDE the in-flight batch's partition — otherwise
+    the batch's docs hit their own buckets, novel goes empty, and the
+    overwrite erases the previously-admitted output rows."""
+    import os
+
+    from open_bus_stride_etl_spark.operators import dedup as dd
+
+    base = str(tmp_path / "base")
+    src = f"{base}/ingest"
+    os.makedirs(src)
+    rows = [Row(doc_id=10, text=GOOD)]
+    staged = str(tmp_path / "s0")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(staged)
+    part = [f for f in os.listdir(staged) if f.startswith("part-")][0]
+    os.rename(os.path.join(staged, part), f"{src}/00.parquet")
+
+    # the crashed attempt's leftover: batch 0's OWN buckets in the index
+    batch_df = spark.read.parquet(src)
+    (
+        dd.band_buckets(dd.minhash_signatures(batch_df))
+        .select("bucket").distinct()
+        .write.mode("overwrite")
+        .parquet(f"{base}/lsh_band_index/batch=0")
+    )
+
+    # fresh checkpoint -> batch 0 is (re)delivered with its partition present
+    m = run_task(spark, "llm-stream-ingest-dedup", base_dir=base)
+    assert m["n_novel"] == 1, "replayed batch suppressed by its own index partition"
+    out = spark.read.parquet(m["out_dir"])
+    assert [r["doc_id"] for r in out.collect()] == [10]
