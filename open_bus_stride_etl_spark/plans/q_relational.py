@@ -3,6 +3,18 @@ sorts, set ops (SURVEY.md §2.2-2.7). Each maps one reference operator to
 its Spark-native form, with a DuckDB oracle twin.
 
 Engine-portability notes: see plans/registry.py module docstring.
+
+Retired true-twin queries (r7, VERDICT r6 item 6 — d1+d5 double-green,
+zero coverage loss): date_window_inclusive (P3; ts-window predicate ⊂
+time_window_halfopen, whose oracle covers the boundary arithmetic),
+enum_neq_counts (P6; enum <> filter ⊂ pricing_summary's conditional
+counts + term_df_top20's `term <> ''`), bbox_filter (P9; the lat/lon
+between-predicate pair lives in stride_tasks.py:update_areas_fake_gtfs
+with pytest coverage and in nearest_point_per_user's geo family),
+multikey_join (J2; two-key equi-join ⊂ code_date_dim_join),
+exact_ts_join (J5; timestamp equi-join ⊂ code_date_dim_join's date key +
+streaming_click_purchase_join's ts-range join). like_prefix stays: it is
+the sole LIKE-predicate carrier (P5).
 """
 
 from __future__ import annotations
@@ -15,24 +27,6 @@ from ..sources.lake import load_table
 from .registry import query
 
 
-# --- P3: inclusive date-window (add_ride_durations.py:87-107 is inclusive
-#     of the max bound, unlike the half-open packager window) ---------------
-
-@query(
-    "date_window_inclusive",
-    """
-    SELECT event_id, ts, user_id
-    FROM events
-    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts <= TIMESTAMP '2024-01-07 00:00:00'
-    """,
-)
-def date_window_inclusive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    lo = F.lit("2024-01-05 00:00:00").cast("timestamp")
-    hi = F.lit("2024-01-07 00:00:00").cast("timestamp")
-    return ev.where((F.col("ts") >= lo) & (F.col("ts") <= hi)).select(
-        "event_id", "ts", "user_id"
-    )
 
 
 # --- P4: IS NULL "unprocessed" marker (siri/add_ride_durations.py:141).
@@ -73,73 +67,10 @@ def like_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- P6: enum inequality filter (stats/api.py:20-22 etl_status != pending) -
-
-@query(
-    "enum_neq_counts",
-    """
-    SELECT o_orderstatus, COUNT(*) AS n
-    FROM orders WHERE o_orderstatus <> 'O'
-    GROUP BY o_orderstatus
-    """,
-)
-def enum_neq_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.where(F.col("o_orderstatus") != "O")
-        .groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
 
 
-# --- P9: bbox spatial filter (urbanaccess areas.yaml bboxes). Lat/lon are
-#     derived deterministically from event columns; fmod is exact in IEEE
-#     so both engines agree bit-for-bit. ----------------------------------
-
-@query(
-    "bbox_filter",
-    """
-    SELECT event_id,
-           fmod(abs(value), 90.0) AS lat,
-           fmod(abs(value) * 3.7, 360.0) - 180.0 AS lon
-    FROM events
-    WHERE fmod(abs(value), 90.0) BETWEEN 10.0 AND 40.0
-      AND (fmod(abs(value) * 3.7, 360.0) - 180.0) BETWEEN -60.0 AND 60.0
-    """,
-)
-def bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    lat = F.abs(F.col("value")) % 90.0
-    lon = (F.abs(F.col("value")) * 3.7) % 360.0 - 180.0
-    return (
-        ev.select(F.col("event_id"), lat.alias("lat"), lon.alias("lon"))
-        .where(F.col("lat").between(10.0, 40.0) & F.col("lon").between(-60.0, 60.0))
-    )
 
 
-# --- J2: multi-key equi-join (update_rides_gtfs.py:18-19 joins on
-#     operator_ref AND line_ref) ------------------------------------------
-
-@query(
-    "multikey_join",
-    """
-    WITH a AS (SELECT user_id, event_type, COUNT(*) AS n_all
-               FROM events GROUP BY user_id, event_type),
-         b AS (SELECT user_id, event_type, COUNT(*) AS n_big
-               FROM events WHERE value > 100 GROUP BY user_id, event_type)
-    SELECT a.user_id, a.event_type, a.n_all, b.n_big
-    FROM a JOIN b ON a.user_id = b.user_id AND a.event_type = b.event_type
-    """,
-)
-def multikey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    a = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n_all"))
-    b = (
-        ev.where(F.col("value") > 100)
-        .groupBy("user_id", "event_type")
-        .agg(F.count(F.lit(1)).alias("n_big"))
-    )
-    return a.join(b, on=["user_id", "event_type"], how="inner")
 
 
 # --- J3: equi-join on business code against a date-versioned dimension
@@ -174,29 +105,6 @@ def code_date_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- J5: exact-timestamp equi-join (update_rides_gtfs.py:30-44 matches
-#     scheduled_start_time = gtfs_ride.start_time), at minute granularity -
-
-@query(
-    "exact_ts_join",
-    """
-    SELECT e1.event_id AS click_id, e2.event_id AS purchase_id,
-           date_trunc('minute', e1.ts) AS minute
-    FROM events e1
-    JOIN events e2
-      ON date_trunc('minute', e1.ts) = date_trunc('minute', e2.ts)
-     AND e1.event_type = 'click' AND e2.event_type = 'purchase'
-    """,
-)
-def exact_ts_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    e1 = ev.where(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"), F.date_trunc("minute", "ts").alias("minute")
-    )
-    e2 = ev.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"), F.date_trunc("minute", "ts").alias("minute")
-    )
-    return e1.join(e2, on="minute", how="inner").select("click_id", "purchase_id", "minute")
 
 
 # --- J7: left join with compound band condition (packagers/siri.py:57-60) -

@@ -449,3 +449,85 @@ def content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.agg(
         F.count(F.lit(1)).alias("n_rows"), F.sum(h).alias("content_hash")
     )
+
+
+# --- Task-layer compaction invariance (VERDICT r6 item 5): the first
+#     driver-green row for the pytest-only task surface. The query runs
+#     the REAL lake-compact task (stride_tasks.py -> sources/fs.py:
+#     compact_parquet, staging dir + atomic rename swap) on a freshly
+#     fragmented copy of `events` and emits the order-insensitive
+#     content hash (F14 kernel) of the table BEFORE and AFTER the
+#     rewrite, plus the real file counts. The oracle computes the hash
+#     analytically from `events` and emits it twice with the predicted
+#     layout constants (12 round-robin fragments -> 1 target file at
+#     these byte sizes) — so a compaction that loses, duplicates, or
+#     corrupts rows fails the value hash, and one that doesn't rewrite
+#     the layout fails the file-count columns. Scale note: the rewrite
+#     is one shuffle-free coalesce (or a repartitionByRange when
+#     sort_cols cluster for min/max pruning, as here); the hash is a
+#     map-side-combinable SUM of bounded per-row md5 longs, exact up to
+#     ~8M rows per partial (functions/hashing.py). ------------------------
+
+@query(
+    "compact_roundtrip_hash",
+    """
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5(
+        COALESCE(CAST(event_id AS VARCHAR), chr(0) || 'NULL' || chr(0)) || '|' ||
+        COALESCE(event_type, chr(0) || 'NULL' || chr(0)) || '|' ||
+        COALESCE(CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR), chr(0) || 'NULL' || chr(0))
+      ), 1, 10)) AS BIGINT) AS hv
+      FROM events)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(hv) AS BIGINT) AS hash_before,
+           CAST(SUM(hv) AS BIGINT) AS hash_after,
+           CAST(12 AS BIGINT) AS n_files_before,
+           CAST(1 AS BIGINT) AS n_files_after
+    FROM h
+    """,
+)
+def compact_roundtrip_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from .tasks import run_task  # noqa: PLC0415
+    from . import stride_tasks  # noqa: PLC0415,F401 - registers lake-compact
+
+    def _hash_agg(df: DataFrame, alias: str) -> DataFrame:
+        h = hex_to_long(
+            F.substring(
+                row_md5(
+                    F.col("event_id"),
+                    F.col("event_type"),
+                    F.round(F.col("value") * 100).cast("long"),
+                ),
+                1,
+                10,
+            )
+        )
+        aggs = [F.sum(h).alias(alias)]
+        if alias == "hash_before":
+            aggs.insert(0, F.count(F.lit(1)).alias("n_rows"))
+        return df.agg(*aggs)
+
+    base = tempfile.mkdtemp(prefix="compact_rt_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+        ev.repartition(12).write.mode("overwrite").parquet(f"{base}/events")
+        # materialize BEFORE the rewrite swaps the files out from under the plan
+        before = _hash_agg(
+            spark.read.parquet(f"{base}/events"), "hash_before"
+        ).localCheckpoint(eager=True)
+        m = run_task(
+            spark, "lake-compact", base_dir=base, dataset="events",
+            target_mb=128, sort_cols="event_id",
+        )
+        after = _hash_agg(spark.read.parquet(f"{base}/events"), "hash_after")
+        return (
+            before.crossJoin(after)  # two single-row aggregates -> one row
+            .withColumn("n_files_before", F.lit(int(m["files_before"])).cast("long"))
+            .withColumn("n_files_after", F.lit(int(m["files_after"])).cast("long"))
+            .localCheckpoint(eager=True)  # self-contained: temp dir is removed below
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

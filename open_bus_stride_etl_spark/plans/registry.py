@@ -272,23 +272,6 @@ _DEMOTE_LAST = [
     # streaming_session_windows), hourly_minmax (same oracle as
     # streaming_hourly_events), sample_10pct_stats (same md5-bucket
     # membership as stratified_sample_counts / balanced_corpus).
-    # The remaining slots (incl. one for the new
-    # ann_ivf_persisted_topk) came from these driver-green queries —
-    # r4's freshly-verified one-shots plus heavily-verified (3-4x
-    # green) queries with clear in-window family twins:
-    "geodesic_agreement",  # d4-green; geo-distance family via nearest_point_per_user
-    "tokenize_vocab_ids",  # d4-green; tokenize/DF-head stage shared with term_df_top20
-    "epoch_upsample_mix",  # d4-green; md5-bucket membership + broadcast rates via balanced_corpus
-    "training_shard_order",  # d4-green; sharded bucket-then-rank via packed_batches
-    "streaming_ride_tracker",  # d4-green; first/last endpoints oracle via streaming_user_first_last
-    "streaming_enriched_events",  # d4-green; streaming-join family via streaming_click_purchase_join
-    "streaming_hourly_distinct_users",  # d4-green; per-hour windowed agg via streaming_hourly_events
-    "group_day_type",  # d1-d4 quadruple-green; grouped money agg via pricing_summary
-    "computed_key_join",  # d1-d4 quadruple-green; computed/multi-key join via code_date_dim_join
-    "moving_avg_frame",  # d1-d4 quadruple-green; window frame agg via quantile_quality_keep's cumulative histogram
-    "dedup_embedding_cosine",  # d2-d4 triple-green; blocked-matmul near-dup via semdedup_pairs
-    # Slot freed for streaming_upsert_snapshot (new in r5):
-    "ann_ivf_topk",  # d1-d4 quadruple-green; deterministic-pivot IVF strictly covered by the trained persisted-index lifecycle query
     # --- Round-6 rotation (VERDICT r5 item 1): the 12 tail queries whose
     # newest driver verdict dated to r2 (two refactor generations old)
     # were promoted back into the window: time_window_halfopen,
@@ -302,13 +285,8 @@ _DEMOTE_LAST = [
     # r5-verified one-shots below — the 11 queries r5 re-promoted for
     # re-verification (all freshly green in CORRECTNESS_r05) plus the
     # r5 newcomers, each with an in-window family twin:
-    "date_window_inclusive",  # d1+d5 double-green; date-window predicate via time_window_halfopen
-    "null_marker_todo",  # d1+d5; IS NULL filter ≡ null-filtered left join via customers_without_orders
-    "like_prefix",  # d1+d5; string-predicate filter via json_extract_filter
-    "enum_neq_counts",  # d1+d5; enum conditional counts via pricing_summary
-    "bbox_filter",  # d1+d5; geo predicate via nearest_point_per_user
-    "multikey_join",  # d1+d5; multi-key equi-join via code_date_dim_join
-    "exact_ts_join",  # d1+d5; code+ts equi-join via code_date_dim_join
+    "null_marker_todo",  # d1+d5; IS NULL marker ≡ outer-join null side via ledger_missing_dates (repointed r7: old cover demoted)
+    "like_prefix",  # d1+d5; string-predicate filter via pii_redaction_stats (repointed r7); kept registered as the sole LIKE carrier (SURVEY P5)
     "window_id_bounds",  # d1+d5; min/max extremes via first_last_durations
     "running_min",  # d1+d5; window frame agg via quantile_quality_keep's cumulative histogram
     "topk_recent",  # d1+d5; order-by+limit top-k via sort_nulls_last_topk
@@ -320,6 +298,37 @@ _DEMOTE_LAST = [
     # index + foreachBatch probe — the near-dup superset of the
     # incremental-vs-seen-index family) ---
     "dedup_incremental",  # d5-green; seen-index anti/probe join via streaming_dedup_lsh
+    # --- Round-7 rotation (VERDICT r6 items 1, 6, 7): the 12 tail
+    # queries whose newest driver verdict dated to r4 (two refactor
+    # generations old) were promoted back into the window:
+    # geodesic_agreement, tokenize_vocab_ids, epoch_upsample_mix,
+    # training_shard_order, streaming_ride_tracker,
+    # streaming_enriched_events, streaming_hourly_distinct_users,
+    # group_day_type, computed_key_join, moving_avg_frame,
+    # dedup_embedding_cosine, ann_ivf_topk. Five d1+d5 double-green true
+    # twins were RETIRED outright (r5 precedent, zero coverage loss —
+    # each family exactly held by a registered twin): date_window_inclusive,
+    # enum_neq_counts, bbox_filter, multikey_join, exact_ts_join
+    # (like_prefix stays registered — it is the sole LIKE-predicate
+    # carrier for SURVEY P5). Slots for the promotions plus the new
+    # compact_roundtrip_hash (task-layer compaction invariance) came
+    # from these r6-verified queries, each now 2x+ driver-green with an
+    # in-window family twin — including the VERDICT item-7 twin swap:
+    # the production-rule semdedup_scaled_pairs holds the in-window
+    # slot, the fixed-k oracle-tractability baseline moves to the tail.
+    "time_window_halfopen",  # d1+d2+d6; half-open time-window predicate via streaming_hourly_events' hour buckets
+    "customers_with_open_orders",  # d1+d2+d6; membership semi-join ≡ band-hit probe via streaming_dedup_lsh
+    "customers_without_orders",  # d1+d2+d6; anti-join family via corpus_clean_keep's left-anti removal
+    "top2_per_user",  # d2+d6; row_number-per-group rank via training_shard_order
+    "distinct_set_per_day",  # d2+d6; distinct-per-window accumulation via streaming_hourly_distinct_users
+    "canonical_export",  # d2+d6; canonical row serialization via content_hash
+    "left_band_join",  # d2+d6; banded interval join via banded_priority_match
+    "completeness_ratio",  # d2+d6; single-row broadcast cross-join ratio via split_leakage_check
+    "json_extract_filter",  # d2+d6; string-extraction predicate via pii_redaction_stats
+    "rollup_revenue",  # d2+d6; grouped money aggregate via pricing_summary
+    "session_gaps",  # d3+d6; same session-gap semantics via streaming_session_windows
+    "ride_durations_guarded",  # d3+d6; guarded first/last durations via first_last_durations
+    "semdedup_pairs",  # d5+d6; fixed-k oracle-tractability twin of semdedup_scaled_pairs (VERDICT r6 item 7 swap)
 ]
 
 # Auditable coverage ledger (VERDICT r3 item 8): every demoted query
@@ -337,27 +346,11 @@ COVERED_BY = {
     "lang_id": "text_quality",  # pure-column text family
     "doc_fingerprints": "content_hash",  # md5/rolling-hash fingerprints
     "dedup_ngram_jaccard": "dedup_minhash_lsh",  # candidate-pair Jaccard is a stage of the LSH path
-    # r5 demotions:
-    "geodesic_agreement": "nearest_point_per_user",  # geo-distance function family
-    "tokenize_vocab_ids": "term_df_top20",  # shared tokenize + DF-head stage
-    "epoch_upsample_mix": "balanced_corpus",  # md5-bucket membership + broadcast rate table
-    "training_shard_order": "packed_batches",  # sharded bucket-then-rank ordering
-    "streaming_ride_tracker": "streaming_user_first_last",  # same first/last endpoints oracle
-    "streaming_enriched_events": "streaming_click_purchase_join",  # streaming-join family
-    "streaming_hourly_distinct_users": "streaming_hourly_events",  # per-hour windowed agg
-    "group_day_type": "pricing_summary",  # grouped conditional/money aggregate
-    "computed_key_join": "code_date_dim_join",  # computed/multi-key equi-join
-    "moving_avg_frame": "quantile_quality_keep",  # window frame aggregate (cumulative histogram core)
-    "dedup_embedding_cosine": "semdedup_pairs",  # blocked-matmul embedding near-dup
-    "ann_ivf_topk": "ann_lsh_multiprobe_topk",  # same _partitioned_probe kernel; trainer via kmeans_assign
+    # (r5-demoted rows for the 12 queries promoted back in r7 removed;
+    # retired-in-r7 rows removed with their registrations)
     # r6 demotions:
-    "date_window_inclusive": "time_window_halfopen",  # date/ts window predicate family
-    "null_marker_todo": "customers_without_orders",  # IS NULL filter ≡ null-filtered left join / anti-join
-    "like_prefix": "json_extract_filter",  # string-predicate filter family
-    "enum_neq_counts": "pricing_summary",  # enum conditional counts
-    "bbox_filter": "nearest_point_per_user",  # geo predicate family
-    "multikey_join": "code_date_dim_join",  # multi-key equi-join
-    "exact_ts_join": "code_date_dim_join",  # code+ts equality join
+    "null_marker_todo": "ledger_missing_dates",  # IS NULL marker predicate ≡ outer-join null-side detection (repointed r7)
+    "like_prefix": "pii_redaction_stats",  # string-predicate filter family (repointed r7; sole LIKE carrier, SURVEY P5)
     "window_id_bounds": "first_last_durations",  # per-group min/max extremes
     "running_min": "quantile_quality_keep",  # window frame aggregate (cumulative histogram core)
     "topk_recent": "sort_nulls_last_topk",  # order-by + limit top-k
@@ -366,6 +359,20 @@ COVERED_BY = {
     "streaming_dedup_exact": "streaming_dedup_lsh",  # streaming dedup-vs-index family (near-dup superset in-window)
     "streaming_upsert_snapshot": "streaming_user_first_last",  # keyed latest-state streaming aggregate
     "dedup_incremental": "streaming_dedup_lsh",  # seen-index probe join (exact anti-join ⊂ band-bucket probe)
+    # r7 demotions:
+    "time_window_halfopen": "streaming_hourly_events",  # half-open time-window predicate (hour bucketing is half-open by construction)
+    "customers_with_open_orders": "streaming_dedup_lsh",  # membership semi-join ≡ index band-hit probe
+    "customers_without_orders": "corpus_clean_keep",  # anti-join family (left-anti removal of flagged docs)
+    "top2_per_user": "training_shard_order",  # row_number-per-group rank-and-filter ordering
+    "distinct_set_per_day": "streaming_hourly_distinct_users",  # distinct-per-window accumulation
+    "canonical_export": "content_hash",  # canonical row serialization (NULL-sentinel join of string forms)
+    "left_band_join": "banded_priority_match",  # banded interval join family
+    "completeness_ratio": "split_leakage_check",  # single-row broadcast cross-join ratio (the repo's two crossJoins)
+    "json_extract_filter": "pii_redaction_stats",  # string-extraction predicate family
+    "rollup_revenue": "pricing_summary",  # grouped money aggregate family
+    "session_gaps": "streaming_session_windows",  # same session-gap break detection semantics
+    "ride_durations_guarded": "first_last_durations",  # guarded first/last duration family
+    "semdedup_pairs": "semdedup_scaled_pairs",  # fixed-k oracle-tractability twin of the production scaled-k rule
 }
 
 
