@@ -553,6 +553,46 @@ def test_connected_components_matches_union_find(spark, edges, local_finish, pre
     assert got == expected
 
 
+def test_local_cc_finish_kernel_matches_union_find(spark):
+    """Direct kernel test for the r7 vectorized _local_cc_finish
+    (numpy min-label propagation + pointer jumping, replacing the dict
+    union-find): randomized non-contiguous-id graphs plus the shapes
+    that stress the jumping loop (long chains, duplicate edges,
+    reversed orientation) must match a reference union-find exactly —
+    component_id = MIN node id for every node that appears in edges."""
+    import random
+
+    rng = random.Random(42)
+    cases = [
+        # long chain (pointer jumping needs O(log n) outer rounds)
+        [(i * 3 + 1, i * 3 + 4) for i in range(400)],
+        # duplicate + reversed edges
+        [(5, 9), (9, 5), (5, 9), (9, 14), (14, 5)],
+    ]
+    for _ in range(6):
+        n = rng.randint(2, 300)
+        cases.append(
+            [
+                (rng.randrange(n) * 11 + 2, rng.randrange(n) * 11 + 2)
+                for _ in range(rng.randint(1, 500))
+            ]
+        )
+    for edges in cases:
+        edges = [(u, v) for u, v in edges if u != v]
+        if not edges:
+            continue
+        nodes = {x for e in edges for x in e}
+        expected = _uf_components(max(nodes) + 1, edges)
+        pairs = spark.createDataFrame(
+            [Row(doc_a=u, doc_b=v) for u, v in edges], "doc_a long, doc_b long"
+        )
+        got = {
+            r["doc_id"]: r["component_id"]
+            for r in dd._local_cc_finish(pairs).collect()
+        }
+        assert got == expected
+
+
 def test_precontract_preserves_self_loop_only_nodes(spark):
     """r5 ADVICE fix: with input_simple=True (caller skips the defensive
     self-loop filter) a node appearing ONLY in self-loop edges must not
