@@ -5,6 +5,10 @@ beyond the shipped sf0.1.
     python tools/gen_testdata.py /tmp/sf1 1.0
     python tools/check_oracle.py /tmp/sf1          # all queries at sf1
     SPARK_GRAFT_SF_DIR=/tmp/sf1 python bench.py
+    python tools/gen_testdata.py /tmp/sf100 100 documents,embeddings
+        # optional third arg: generate only the named tables — e.g. a
+        # 1000x corpus for the dedup/ANN scale probes without paying
+        # for 520M lineitem rows the probe never reads
 
 All generation is DataFrame-expression-based (no driver loops) and
 deterministic (md5-derived pseudo-randomness keyed by row id). The data
@@ -33,11 +37,15 @@ def _h(col, mod):
     return F.pmod(F.xxhash64(col.cast("string")), F.lit(mod)).cast("int")
 
 
-def generate(spark: SparkSession, out_dir: str, sf: float) -> None:
+def generate(
+    spark: SparkSession, out_dir: str, sf: float, only: set[str] | None = None
+) -> None:
     os.makedirs(out_dir, exist_ok=True)
     epoch = F.lit(EPOCH).cast("timestamp")
 
     def write(df, name, block=4 * 1024 * 1024):
+        if only is not None and name not in only:
+            return
         # single file per table, like the shipped testdata (DuckDB's
         # read_parquet gets a plain file path)
         import glob as _glob  # noqa: PLC0415
@@ -247,6 +255,7 @@ def generate(spark: SparkSession, out_dir: str, sf: float) -> None:
 
 if __name__ == "__main__":
     out_dir, sf = sys.argv[1], float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
+    only = {t.strip() for t in sys.argv[3].split(",")} if len(sys.argv) > 3 else None
     spark = build_session("gen-testdata")
-    generate(spark, out_dir, sf)
-    print({"out_dir": out_dir, "sf": sf})
+    generate(spark, out_dir, sf, only=only)
+    print({"out_dir": out_dir, "sf": sf, "only": sorted(only) if only else "all"})
