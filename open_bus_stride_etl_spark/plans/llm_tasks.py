@@ -521,9 +521,14 @@ def llm_stream_ingest_dedup(
         .option("checkpointLocation", ckpt)
         .start()
     )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError("llm-stream-ingest-dedup did not finish within 600s")
+    try:
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("llm-stream-ingest-dedup did not finish within 600s")
+    finally:
+        from .q_streaming import _unload_state_stores  # noqa: PLC0415
+
+        _unload_state_stores(spark)
 
     return {
         "n_batches": totals["n_batches"],

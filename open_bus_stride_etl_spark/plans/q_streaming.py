@@ -133,6 +133,39 @@ def _await_or_raise(q, seconds: int = 300) -> None:
         )
 
 
+def _unload_state_stores(spark: SparkSession) -> None:
+    """Deterministically unload every state-store provider held by this
+    JVM once a bounded run has finished with its state.
+
+    Why this exists (r7): after a streaming query terminates, each
+    executor still holds its ``HDFSBackedStateStoreProvider`` instances
+    — including the in-memory ``loadedMaps`` version cache of the
+    stream-stream join / aggregation state — until the state-store
+    MAINTENANCE tick (default 60 s) notices the query's run id is
+    deactivated and unloads them. Harness patterns run bounded
+    streaming queries back-to-back (bench min-of-N, scale_probe's
+    warm+2, ab_probe rounds), each run under a fresh checkpoint dir =
+    a fresh provider set, so provider sets accumulate faster than the
+    tick retires them. Measured at sf30 (870 MB of events through the
+    click->purchase stream-stream join, local[32], 8 GiB driver): the
+    r7 width A/B OOM'd the JVM on its 3rd round (~5th run), and a
+    scale_probe session running three streaming queries at two scale
+    factors cascaded into STREAM_FAILED with missing shuffle/broadcast
+    blocks — the executor side of the same heap exhaustion (this is
+    also the likely mechanism of r5's one unreproducible STREAM_FAILED,
+    SCALE30.md). ``StateStore.stop()`` unloads all providers and stops
+    the maintenance thread; Spark restarts maintenance lazily on the
+    next state-store load, so subsequent queries are unaffected (pinned
+    by the pytest streaming suite, which runs many queries through one
+    session). On a real cluster this call reaches only the driver's own
+    JVM — executors unload via the normal maintenance path — which is
+    the right scope anyway: local[n] is exactly the topology where
+    driver == executor makes the leak fatal, and production clusters
+    run long-lived streams rather than churning bounded ones."""
+    with contextlib.suppress(Exception):
+        spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+
+
 def _run_complete(
     df: DataFrame, spark: SparkSession, src_dir: str, mode: str = "complete"
 ) -> DataFrame:
@@ -166,6 +199,7 @@ def _run_complete(
             spark.catalog.dropTempView(name)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(src_dir, ignore_errors=True)
+        _unload_state_stores(spark)
     return out
 
 
@@ -401,6 +435,7 @@ def _run_to_parquet(df: DataFrame, spark: SparkSession, src_dir: str) -> DataFra
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(src_dir, ignore_errors=True)
+        _unload_state_stores(spark)
     return out
 
 
@@ -652,6 +687,7 @@ def streaming_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(src_dir, ignore_errors=True)
+        _unload_state_stores(spark)
     return out
 
 
@@ -692,6 +728,7 @@ def _run_foreach_batch(
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(src_dir, ignore_errors=True)
+        _unload_state_stores(spark)
     return out
 
 
