@@ -758,25 +758,41 @@ def connected_components(
     return members.union(roots)
 
 
-def simhash32(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """32-bit SimHash over whitespace tokens (with multiplicity): bit j
-    is the sign of the per-bit majority vote. One explode + one
-    aggregate with 32 conditional sums."""
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """``bits``-wide SimHash over whitespace tokens (with multiplicity):
+    bit j is the sign of the per-bit majority vote. One explode + one
+    aggregate with ``bits`` conditional sums (map-side combinable).
+
+    ``bits`` must be a multiple of 4 (the token hash is the first
+    bits/4 hex chars of md5) and <= 60 so the signature — and DuckDB's
+    '0x'-literal parse of the same hex prefix in the oracle twin —
+    stays inside a signed 64-bit integer. 32 is the oracle-tractable
+    registered config; 60 is the production width (see
+    ``simhash_hamming_pairs``'s scale note)."""
+    if bits % 4 or not 4 <= bits <= 60:
+        raise ValueError("bits must be a multiple of 4 in [4, 60]")
     words = F.split(normalize_text(F.col(text_col)), " ")
     toks = docs.select(F.col(id_col), F.explode(words).alias("tok")).withColumn(
-        "h", hex_to_long(F.substring(F.md5("tok"), 1, 8))
+        "h", hex_to_long(F.substring(F.md5("tok"), 1, bits // 4))
     )
     votes = [
         F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{j}")
-        for j in range(32)
+        for j in range(bits)
     ]
     per_doc = toks.groupBy(id_col).agg(*votes)
     sim = None
-    for j in range(32):
+    for j in range(bits):
         bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = bit * F.lit(1 << j).cast("long")
         sim = term if sim is None else sim + term
     return per_doc.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash32(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash — the oracle-twinned registered config."""
+    return simhash(docs, id_col, text_col, bits=32)
 
 
 def simhash_hamming_pairs(
@@ -798,16 +814,26 @@ def simhash_hamming_pairs(
     shuffles on (band, value) — an equi-join, never all-pairs.
 
     Scale knob: band width controls bucket occupancy. 32-bit/4-band
-    (8-bit values, 256 buckets/band) matches the ``simhash32`` signature
-    and is fine up to ~1M docs; at real corpus scale switch the
-    signature to 64-bit and 8 bands of 8 bits (or 4 of 16) so occupancy,
-    not corpus size, bounds the per-bucket pair count.
+    (8-bit values, 256 buckets/band) is the oracle-tractable registered
+    config and is fine up to ~1M docs; at real corpus scale pass
+    ``sim_bits=60`` (15-bit bands, 32768 buckets/band — the widest
+    signature whose hex prefix both engines parse into a signed 64-bit
+    int) so occupancy, not corpus size, bounds the per-bucket pair
+    count. Measured r7 on the 5M-doc /tmp/sf100 corpus (same contended
+    window, both configs): 32-bit banding put 227.4B candidate pairs
+    through the verify (max bucket 58,314 docs; 229.4 s end-to-end, the
+    one superlinear row of the 1000x probe) vs 60-bit's 2.07B
+    candidates (110x fewer; max bucket 1,216; 27.3 s end-to-end,
+    8.4x) — see SCALE30.md's 1000x notes. Same ``threshold=3`` on a
+    wider fingerprint is the published production operating point
+    (Manku et al., WWW'07: f=64, k=3), a strictly finer near-dup
+    notion than 3-of-32.
     """
     if threshold >= n_bands:
         raise ValueError("pigeonhole exactness needs threshold < n_bands")
     band_width = sim_bits // n_bands
     mask = (1 << band_width) - 1
-    sims = simhash32(docs, id_col, text_col)
+    sims = simhash(docs, id_col, text_col, bits=sim_bits)
     band_vals = F.array(
         *[
             F.shiftright(F.col("simhash"), band_width * j).bitwiseAND(F.lit(mask))

@@ -88,6 +88,39 @@ def test_simhash_deterministic(spark):
     assert 0 <= out[0] < (1 << 32)
 
 
+def test_simhash_wide_pigeonhole_exact(spark):
+    """The 60-bit production config (simhash_hamming_pairs sim_bits=60,
+    4 bands of 15 bits) must return EXACTLY the pairs within hamming 3
+    of the 60-bit signatures — the same pigeonhole-exactness contract
+    the 32-bit registered config is oracle-gated on. Cross-checked
+    against a brute-force all-pairs popcount of the collected
+    signatures on a corpus with planted one-word substitutions."""
+    words = ["w%d" % i for i in range(12)]
+    rows = []
+    for d in range(24):
+        toks = [words[(d * 7 + i * 5) % len(words)] for i in range(10)]
+        rows.append(Row(doc_id=d * 2, text=" ".join(toks)))
+        toks_near = list(toks)
+        toks_near[3] = "sub%d" % d
+        rows.append(Row(doc_id=d * 2 + 1, text=" ".join(toks_near)))
+    docs = spark.createDataFrame(rows)
+    sims = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs, bits=60).collect()}
+    assert all(0 <= s < (1 << 60) for s in sims.values())
+    ids = sorted(sims)
+    expect = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sims[a] ^ sims[b]).count("1") <= 3
+    }
+    assert expect  # the planted corpus must actually exercise the join
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.simhash_hamming_pairs(docs, threshold=3, n_bands=4, sim_bits=60).collect()
+    }
+    assert got == expect
+
+
 def test_cosine_topk_orders_by_similarity(spark):
     emb = spark.createDataFrame(
         [
