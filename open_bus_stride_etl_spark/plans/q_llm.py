@@ -156,27 +156,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup: SimHash signatures
 # ---------------------------------------------------------------------------
 
-_SIMHASH_VOTES = ", ".join(
-    f"SUM(((h >> {j}) & 1) * 2 - 1) AS v{j}" for j in range(32)
-)
-_SIMHASH_BITS = " + ".join(
-    f"(CASE WHEN v{j} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {j})" for j in range(32)
-)
-# Shared oracle twin of operators/dedup.py:simhash32 — ONE definition for
-# the three simhash queries below, so a tokenization/banding tweak cannot
-# desynchronize them.
-_SQL_SIMHASH_SIMS = (
-    r"""norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+# Shared oracle twin of operators/dedup.py:simhash — ONE width-
+# parameterized definition for every simhash query below, so a
+# tokenization/banding tweak cannot desynchronize them. `bits` must
+# mirror the operator's contract (multiple of 4, <= 60: the hex prefix
+# parses into a signed 64-bit int in both engines).
+
+
+def _sql_simhash_sims(bits: int) -> str:
+    votes = ", ".join(f"SUM(((h >> {j}) & 1) * 2 - 1) AS v{j}" for j in range(bits))
+    bit_sum = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {j})" for j in range(bits)
+    )
+    return (
+        r"""norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
     toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
-    hashed AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks),
-    votes AS (SELECT doc_id, """ + _SIMHASH_VOTES + """ FROM hashed GROUP BY doc_id),
-    sims AS (SELECT doc_id, """ + _SIMHASH_BITS + """ AS simhash FROM votes)"""
-)
+    hashed AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, """ + str(bits // 4) + """)) AS BIGINT) AS h FROM toks),
+    votes AS (SELECT doc_id, """ + votes + """ FROM hashed GROUP BY doc_id),
+    sims AS (SELECT doc_id, """ + bit_sum + """ AS simhash FROM votes)"""
+    )
+
+
 # ... and of simhash_hamming_pairs' banded candidate generation.
-_SQL_SIMHASH_CAND = """
+def _sql_simhash_cand(bits: int, n_bands: int = 4) -> str:
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    band_list = ", ".join(str(b) for b in range(n_bands))
+    return f"""
     bands AS (
-      SELECT doc_id, simhash, j.band, (simhash >> (8 * j.band)) & 255 AS bv
-      FROM sims, LATERAL (SELECT unnest([0, 1, 2, 3]) AS band) j
+      SELECT doc_id, simhash, j.band, (simhash >> ({width} * j.band)) & {mask} AS bv
+      FROM sims, LATERAL (SELECT unnest([{band_list}]) AS band) j
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -184,6 +193,10 @@ _SQL_SIMHASH_CAND = """
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
     )"""
+
+
+_SQL_SIMHASH_SIMS = _sql_simhash_sims(32)
+_SQL_SIMHASH_CAND = _sql_simhash_cand(32)
 
 # ---------------------------------------------------------------------------
 # Dedup: SimHash near-dup pairs (banded hamming join)
@@ -203,6 +216,30 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH (set similarity) with bit-level cosine-ish similarity at
     a fraction of the shuffle (4 rows/doc vs one row per shingle)."""
     return dd.simhash_hamming_pairs(_docs(spark, sf_dir), threshold=3, n_bands=4)
+
+
+@query(
+    "dedup_simhash60",
+    "WITH " + _sql_simhash_sims(60) + "," + _sql_simhash_cand(60) + """
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """,
+)
+def dedup_simhash60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION SimHash operating point: sim_bits=60 (15-bit
+    bands, 32768 buckets/band), same threshold=3 / n_bands=4 pigeonhole
+    contract as the 32-bit query above — Manku et al. WWW'07's f=64,
+    k=3 at the widest signature whose md5 hex prefix both engines parse
+    into a signed 64-bit int. This is the corpus-scale config, not a
+    variant: at 5M docs the 32-bit bands generated 227.4B candidate
+    pairs vs 60-bit's 2.07B (110x fewer, 8.4x faster end-to-end;
+    SCALE30.md 1000x notes). Registered so the measured scale knob
+    carries its own driver verdict instead of riding the 32-bit oracle
+    chain; the 32-bit twin stays registered (tail) for the historical
+    verdict chain and as dedup_groups_cc's upstream."""
+    return dd.simhash_hamming_pairs(
+        _docs(spark, sf_dir), threshold=3, n_bands=4, sim_bits=60
+    )
 
 
 # ---------------------------------------------------------------------------

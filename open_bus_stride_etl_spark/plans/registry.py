@@ -329,6 +329,11 @@ _DEMOTE_LAST = [
     "session_gaps",  # d3+d6; same session-gap semantics via streaming_session_windows
     "ride_durations_guarded",  # d3+d6; guarded first/last durations via first_last_durations
     "semdedup_pairs",  # d5+d6; fixed-k oracle-tractability twin of semdedup_scaled_pairs (VERDICT r6 item 7 swap)
+    # --- mid-r7: slot freed for dedup_simhash60 (the measured production
+    # band-width config gets its own driver verdict; the 32-bit twin's
+    # banded-candidate SQL stays driver-verified verbatim inside
+    # dedup_groups_cc's oracle, which shares the CTE) ---
+    "dedup_simhash_hamming",  # d2-d6 multi-green; 32-bit oracle-chain twin of dedup_simhash60; candidate SQL in-window via dedup_groups_cc
 ]
 
 # Auditable coverage ledger (VERDICT r3 item 8): every demoted query
@@ -373,6 +378,7 @@ COVERED_BY = {
     "session_gaps": "streaming_session_windows",  # same session-gap break detection semantics
     "ride_durations_guarded": "first_last_durations",  # guarded first/last duration family
     "semdedup_pairs": "semdedup_scaled_pairs",  # fixed-k oracle-tractability twin of the production scaled-k rule
+    "dedup_simhash_hamming": "dedup_groups_cc",  # identical 32-bit simhash+banding CTE is that oracle's upstream; production width via dedup_simhash60
 }
 
 
