@@ -105,7 +105,11 @@ def main() -> int:
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings".split()
     ):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # table-subset corpora (tools/gen_testdata.py's `only` arg) carry
+        # just the tables a targeted probe needs; register what exists and
+        # let a query that references a missing table fail on its own.
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     n_pass = n_fail = 0
