@@ -5,6 +5,7 @@ finalize rides via event-time timeout (the settle guard)."""
 
 import datetime
 import os
+import shutil
 import time
 
 import pytest
@@ -33,16 +34,20 @@ def loc_stream_dir(spark, tables, tmp_path_factory):
 
 
 def _run_to_memory(df, name, mode, spark):
+    ckpt = f"/tmp/ckpt_{name}_{time.time_ns()}"
     q = (
         df.writeStream.format("memory")
         .queryName(name)
         .outputMode(mode)
         .trigger(availableNow=True)
-        .option("checkpointLocation", f"/tmp/ckpt_{name}_{time.time_ns()}")
+        .option("checkpointLocation", ckpt)
         .start()
     )
-    q.awaitTermination(120)
-    return spark.table(name)
+    try:
+        q.awaitTermination(120)
+        return spark.table(name)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)  # don't leak /tmp dirs per run
 
 
 def test_stream_ride_first_last_matches_batch(spark, tables, loc_stream_dir):
