@@ -26,6 +26,30 @@ HEADLINE = [
 ]
 
 
+def summary_payload(
+    total: float, sf: float, n_queries: int,
+    headline_timings: dict[str, float], canary: dict,
+) -> dict:
+    """The LAST emitted line's payload. Must serialize WELL under 400
+    bytes at worst-case field widths: the driver's tail capture
+    truncated an 80-query single-line JSON mid-stream in round 3
+    ("parsed": null — no machine-readable total shipped), so the final
+    line carries the whole contract except the long per-query map.
+    Pinned by tests/test_smoke.py::test_bench_summary_line_under_400b —
+    extend THAT test when adding a field here."""
+    return {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": n_queries,
+        "queries": headline_timings,
+        "note": "full map on prev line",
+        "methodology": "min-of-N cold-cache",
+        "canary": canary,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -138,17 +162,10 @@ def main() -> None:
     )
     print(
         json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "queries": {n: timings[n] for n in HEADLINE if n in timings},
-                "note": "summary; full map on prev line",
-                "methodology": "min-of-N cold-cache since r3",
-                "canary": canary,
-            },
+            summary_payload(
+                total, sf, len(timings),
+                {n: timings[n] for n in HEADLINE if n in timings}, canary,
+            ),
             separators=(",", ":"),
         )
     )

@@ -91,3 +91,27 @@ def test_tail_coverage_ledger_is_complete():
     assert bad_cover == {}, (
         f"coverage rows pointing outside the driver window: {bad_cover}"
     )
+
+
+def test_bench_summary_line_under_400b():
+    """The driver's tail capture truncated an 80-query single-line JSON
+    in round 3 — bench.py's contract since then is that the FINAL line
+    stays well under the capture window. Serialize the summary payload
+    at worst-case field widths (every headline query 4-digit seconds,
+    5-digit total, contended canary readings) and pin the byte bound so
+    a field addition that would silently re-break the driver's capture
+    fails here instead."""
+    import json
+
+    import bench
+
+    worst_timings = {n: 9999.999 for n in bench.HEADLINE}
+    payload = bench.summary_payload(
+        total=99999.999,
+        sf=100.0,
+        n_queries=99,
+        headline_timings=worst_timings,
+        canary={"pre": 99.99, "post": 99.99, "fast_ref": 4.6, "clean": False},
+    )
+    line = json.dumps(payload, separators=(",", ":"))
+    assert len(line.encode()) < 400, f"{len(line.encode())} bytes: {line}"
