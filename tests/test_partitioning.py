@@ -157,3 +157,41 @@ def test_single_pass_audit_plan_canaries(spark, sf_dir):
     renders = max(1, plan2.count("InMemoryRelation"))
     per_render = plan2.count("Scan parquet") / renders
     assert per_render <= 3, f"split_leakage_check subtree re-grew to {per_render}/render:\n{plan2}"
+
+
+def test_dedup_candidate_generation_is_equi_join_only(spark, sf_dir):
+    """The repo's central 100TB claim for every dedup family: candidate
+    pairs come from an EQUI-join on a bucket key (LSH band bucket,
+    simhash band value, shingle hash) — never an all-pairs theta join.
+    A refactor that lets a candidate join degrade to
+    BroadcastNestedLoopJoin / CartesianProduct would still return the
+    right rows at test scale while being quadratic at corpus scale, so
+    pin the plan shape itself."""
+    from open_bus_stride_etl_spark.plans import registry
+
+    qs = registry.queries()
+    for name in ("dedup_simhash60", "dedup_minhash_lsh", "dedup_ngram_jaccard"):
+        plan = _explain(qs[name](spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, f"{name} went quadratic:\n{plan}"
+        assert "NestedLoop" not in plan, f"{name} went quadratic:\n{plan}"
+
+
+def test_banded_join_keeps_selective_key_in_join_condition(spark, sf_dir):
+    """CLAUDE.md constraint: selective keys (user/route id) must stay
+    INSIDE the bin equi-join — hoisting the compatibility join out of
+    the banding once caused a 500x intermediate blowup. Catalyst proves
+    the property for us: if both _bin and user_id are extracted as hash
+    join keys, the join builds on the compound key; if user_id fell out
+    of the equi-condition it would surface as a post-join Filter and
+    vanish from the key list."""
+    from open_bus_stride_etl_spark.plans import registry
+
+    plan = _explain(registry.queries()["banded_priority_match"](spark, sf_dir))
+    key_lines = [
+        l for l in plan.splitlines()
+        if ("Left keys" in l or "Right keys" in l or "Arguments" in l) and "_bin" in l
+    ]
+    assert key_lines, f"no hash-join key list mentions _bin:\n{plan}"
+    assert any("user_id" in l for l in key_lines), (
+        f"user_id not in the banded equi-join keys:\n{plan}"
+    )
