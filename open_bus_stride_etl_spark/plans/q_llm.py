@@ -280,6 +280,47 @@ def dedup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(pairs, input_simple=True)
 
 
+@query(
+    "dedup_groups_cc60",
+    "WITH RECURSIVE " + _sql_simhash_sims(60) + "," + _sql_simhash_cand(60) + """,
+    pairs AS (
+      SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT CAST(u AS BIGINT) AS doc_id,
+           CAST(LEAST(u, MIN(v)) AS BIGINT) AS component_id
+    FROM reach GROUP BY u
+    """,
+)
+def dedup_groups_cc60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION dedup pipeline end-to-end: connected components
+    over the sim_bits=60 (15-bit-band) SimHash pair graph — the config
+    production callers actually run. Same CC operator and survivor
+    election (component_id = MIN doc id) as dedup_groups_cc; the only
+    difference is the upstream band width, which is THE dedup scale
+    knob: at 5M docs the 60-bit pipeline measured 21.8 s end-to-end
+    (163k pairs, max bucket 1,216) vs the 32-bit oracle-chain twin's
+    316 s (227.4B candidates) — SCALE30.md 1000x notes. Registered so
+    the measured production pipeline carries its own driver verdict
+    (VERDICT r7 ask #2); the 32-bit dedup_groups_cc moves to the tail
+    as the historical oracle-chain twin."""
+    pairs = dd.simhash_hamming_pairs(
+        _docs(spark, sf_dir), threshold=3, n_bands=4, sim_bits=60
+    )
+    # simhash pairs are distinct with doc_a < doc_b by construction, so
+    # the CC operator's defensive dedup shuffle is skipped
+    return dd.connected_components(pairs, input_simple=True)
+
+
 # ---------------------------------------------------------------------------
 # Similarity: brute-force cosine top-k (exact baseline)
 # ---------------------------------------------------------------------------

@@ -23,18 +23,22 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf100"
 spark = build_session("probe-prod-cc")
 
 
-def run() -> tuple[float, int, int]:
+def run(count_pairs: bool) -> tuple[float, int, object]:
     t0 = time.time()
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     pairs = dd.simhash_hamming_pairs(docs, threshold=3, n_bands=4, sim_bits=60)
     comp = dd.connected_components(pairs)
     n_rows = comp.count()
     dt = time.time() - t0
-    n_pairs = pairs.count()
+    # Diagnostic pair count only on the warm run: after dt is taken the
+    # pair graph may no longer be persisted, so counting it re-executes
+    # the full simhash+banding subtree and would double timed runs.
+    n_pairs = pairs.count() if count_pairs else "-"
     release_cached()
     return dt, n_rows, n_pairs
 
 
 for i in range(3):  # run 0 = warm, min of runs 1-2 is the row
-    dt, n_rows, n_pairs = run()
+    dt, n_rows, n_pairs = run(count_pairs=(i == 0))
     print(f"run{i}: {dt:.2f}s  component_rows={n_rows}  pairs={n_pairs}", flush=True)
+spark.stop()
