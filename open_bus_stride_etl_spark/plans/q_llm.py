@@ -358,10 +358,12 @@ _SQL_BUCKET = " + ".join(
 # n_queries; the registered query mirrors it so the eval stays O(corpus).
 _RECALL_EVAL_QUERIES = 100
 
-@query(
-    "tokenize_vocab_ids",
-    r"""
-    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+# Oracle twin of corpus_stats.py:tokenize_with_vocab over the corpus's
+# own top-100 DF vocabulary — shared by tokenize_vocab_ids and the
+# shard-export invariance query so a tokenization tweak cannot
+# desynchronize them (the _sql_simhash_sims pattern).
+_SQL_TOKENIZE = r"""
+    norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
     words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
     terms AS (SELECT doc_id, unnest(list_distinct(w)) AS term FROM words),
     dfreq AS (SELECT term, COUNT(*) AS df FROM terms WHERE term <> '' GROUP BY term),
@@ -373,13 +375,21 @@ _RECALL_EVAL_QUERIES = 100
     ex AS (
       SELECT doc_id, u.i AS pos, w[u.i] AS term
       FROM words, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) u
-    )
-    SELECT e.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           CAST(COUNT(CASE WHEN v.token_id IS NULL THEN 1 END) AS BIGINT) AS n_oov,
-           string_agg(CAST(COALESCE(v.token_id, 0) AS VARCHAR), ',' ORDER BY e.pos) AS ids_csv
-    FROM ex e LEFT JOIN vocab v ON v.term = e.term
-    GROUP BY e.doc_id
+    ),
+    tok AS (
+      SELECT e.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(CASE WHEN v.token_id IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+             string_agg(CAST(COALESCE(v.token_id, 0) AS VARCHAR), ',' ORDER BY e.pos) AS ids_csv
+      FROM ex e LEFT JOIN vocab v ON v.term = e.term
+      GROUP BY e.doc_id
+    )"""
+
+
+@query(
+    "tokenize_vocab_ids",
+    "WITH " + _SQL_TOKENIZE + """
+    SELECT doc_id, n_tokens, n_oov, ids_csv FROM tok
     """,
 )
 def tokenize_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1737,3 +1747,212 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hist, on="fingerprint")
         .select("doc_id", "dup_of")
     )
+
+
+# ---------------------------------------------------------------------------
+# Task-layer invariance rows (VERDICT r7 asks #4 and #8): driver-green
+# verdicts for the pytest-only LLM task surfaces, following the
+# compact_roundtrip_hash pattern — run the REAL task on temp dirs, emit
+# analytically-predictable counts + order-insensitive content hashes,
+# rmtree everything before returning a self-contained result.
+# ---------------------------------------------------------------------------
+
+@query(
+    "ingest_replay_idempotence",
+    "WITH " + _SQL_SHINGLES + ", " + _SQL_MINHASH + ", " + _SQL_BUCKETS + """,
+    idx0 AS (SELECT DISTINCT bucket FROM buckets WHERE doc_id % 2 = 0),
+    hit1 AS (
+      SELECT DISTINCT b.doc_id FROM buckets b JOIN idx0 i ON i.bucket = b.bucket
+      WHERE b.doc_id % 2 = 1
+    ),
+    admitted AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, text FROM documents d
+      WHERE doc_id % 2 = 1
+        AND NOT EXISTS (SELECT 1 FROM hit1 h WHERE h.doc_id = d.doc_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_admitted,
+           CAST(SUM(CAST(('0x' || substr(md5(
+             COALESCE(CAST(doc_id AS VARCHAR), chr(0) || 'NULL' || chr(0)) || '|' ||
+             COALESCE(text, chr(0) || 'NULL' || chr(0))
+           ), 1, 10)) AS BIGINT)) AS BIGINT) AS admit_hash,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_ingested_run1,
+           CAST(2 AS BIGINT) AS n_batches_run1,
+           CAST(1 AS BIGINT) AS n_batches_replay
+    FROM admitted
+    """,
+)
+def ingest_replay_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRASH-REPLAY contract of the continuous-ingest task
+    (llm_tasks.py:llm_stream_ingest_dedup), driven end-to-end through
+    the REAL recovery path: run the task over two deterministic
+    micro-batches (files split by doc_id parity, mtime-ordered so evens
+    arrive first), then simulate a crash after the last batch by
+    deleting its checkpoint COMMIT (offsets survive — exactly the
+    window foreachBatch re-delivers in), and restart the task so
+    Structured Streaming replays batch 1 with the same batch id and
+    file set. The r7 fix under test (llm_tasks.py:_admit): the replayed
+    batch must exclude its own in-flight ``batch=<id>`` index partition
+    from the probe — without it the batch's docs hit their OWN buckets,
+    novel goes empty, and the overwrite erases the previously-admitted
+    rows, which fails this query's value hash. The oracle unrolls the
+    two-batch admission analytically: batch 0 (evens) admits all; batch
+    1 (odds) admits docs with zero band-bucket collisions against the
+    evens' index — the same MinHash/band CTEs as streaming_dedup_lsh.
+
+    Scale shape: per batch one shuffle over the batch's shingles plus a
+    bucket equi-join against the index (never all-pairs); replay cost
+    is one batch, not the stream. Self-contained: temp base is removed
+    before returning (result is localCheckpoint-ed)."""
+    import glob as _glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+    import time as _time  # noqa: PLC0415
+
+    from ..functions.hashing import hex_to_long, row_md5  # noqa: PLC0415
+    from . import llm_tasks  # noqa: PLC0415,F401 - registers the task
+    from .q_streaming import _unload_state_stores  # noqa: PLC0415
+    from .tasks import run_task  # noqa: PLC0415
+
+    base = tempfile.mkdtemp(prefix="ingest_replay_")
+    try:
+        src = f"{base}/ingest"
+        os.makedirs(src)
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        now = _time.time()
+        for part, age_s in ((0, 600), (1, 300)):
+            stage = f"{base}/stage{part}"
+            docs.where(F.col("doc_id") % 2 == part).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            pf = _glob.glob(f"{stage}/part-*.parquet")[0]
+            dstf = f"{src}/b{part}.parquet"
+            shutil.move(pf, dstf)
+            # FileStreamSource orders unseen files by modification time
+            # (latestFirst=false): age the files so evens are batch 0.
+            os.utime(dstf, (now - age_s, now - age_s))
+        m1 = run_task(
+            spark, "llm-stream-ingest-dedup", base_dir=base,
+            in_dir=src, max_files_per_trigger=1,
+        )
+        # Crash simulation: drop the LAST batch's commit record. The
+        # offset log keeps its exact file set, so the restarted stream
+        # re-delivers it to foreachBatch with the same batch id.
+        commits = sorted(
+            (f for f in os.listdir(f"{base}/ingest_ckpt/commits") if f.isdigit()),
+            key=int,
+        )
+        os.remove(f"{base}/ingest_ckpt/commits/{commits[-1]}")
+        # ... and its Hadoop checksum sidecar: a leftover .N.crc makes
+        # the restarted query's commit rename fail (surfaces as a bogus
+        # "multiple streaming queries" error).
+        crc = f"{base}/ingest_ckpt/commits/.{commits[-1]}.crc"
+        if os.path.exists(crc):
+            os.remove(crc)
+        m2 = run_task(
+            spark, "llm-stream-ingest-dedup", base_dir=base,
+            in_dir=src, max_files_per_trigger=1,
+        )
+        h = hex_to_long(
+            F.substring(row_md5(F.col("doc_id"), F.col("text")), 1, 10)
+        )
+        return (
+            spark.read.parquet(f"{base}/ingested_documents")
+            .agg(
+                F.count(F.lit(1)).alias("n_admitted"),
+                F.sum(h).alias("admit_hash"),
+            )
+            .withColumn("n_ingested_run1", F.lit(int(m1["n_ingested"])).cast("long"))
+            .withColumn("n_batches_run1", F.lit(int(m1["n_batches"])).cast("long"))
+            .withColumn("n_batches_replay", F.lit(int(m2["n_batches"])).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        _unload_state_stores(spark)
+
+
+@query(
+    "shard_export_invariance",
+    "WITH " + _SQL_TOKENIZE + """,
+    k AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('ep0' || CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT) AS _k
+      FROM documents
+    ),
+    so AS (
+      SELECT doc_id, CAST(_k % 8 AS BIGINT) AS shard,
+             CAST(row_number() OVER (PARTITION BY _k % 8 ORDER BY _k, doc_id) AS BIGINT) AS pos
+      FROM k
+    ),
+    j AS (
+      SELECT so.shard, t.doc_id, so.pos, t.n_tokens, t.n_oov, t.ids_csv
+      FROM tok t JOIN so ON t.doc_id = so.doc_id
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(('0x' || substr(md5(
+             COALESCE(CAST(doc_id AS VARCHAR), chr(0) || 'NULL' || chr(0)) || '|' ||
+             COALESCE(CAST(pos AS VARCHAR), chr(0) || 'NULL' || chr(0)) || '|' ||
+             COALESCE(CAST(n_tokens AS VARCHAR), chr(0) || 'NULL' || chr(0)) || '|' ||
+             COALESCE(CAST(n_oov AS VARCHAR), chr(0) || 'NULL' || chr(0)) || '|' ||
+             COALESCE(ids_csv, chr(0) || 'NULL' || chr(0))
+           ), 1, 10)) AS BIGINT)) AS BIGINT) AS content_hash
+    FROM j GROUP BY shard
+    """,
+)
+def shard_export_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-SHARD EXPORT invariance (VERDICT r7 ask #8): runs the
+    REAL llm-export-training-shards task (vocab build -> tokenize ->
+    seeded shard shuffle -> partitioned parquet write) into a temp lake
+    and verifies the artifact a training loader would actually read:
+    per shard, the row count and the order-insensitive content hash
+    over (doc_id, pos, n_tokens, n_oov, ids_csv) must equal the
+    analytic prediction composed from the tokenize_vocab_ids and
+    training_shard_order oracle contracts (vocab_size=100, n_shards=8,
+    seed='ep0'). A lost/duplicated row, a wrong token id, or a
+    misassigned shard/pos all fail the value hash; a missing shard
+    partition fails the row count.
+
+    Scale shape (the task's): broadcast vocab, one posexplode +
+    doc-keyed reassembly, n_shards bounded window partitions, one final
+    repartition by shard. Self-contained: temp dir removed before
+    returning."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ..functions.hashing import hex_to_long, row_md5  # noqa: PLC0415
+    from . import llm_tasks  # noqa: PLC0415,F401 - registers the task
+    from .tasks import run_task  # noqa: PLC0415
+
+    base = tempfile.mkdtemp(prefix="shard_export_")
+    try:
+        _docs(spark, sf_dir).select("doc_id", "text").write.mode("overwrite").parquet(
+            f"{base}/documents.parquet"
+        )
+        run_task(
+            spark, "llm-export-training-shards", base_dir=base,
+            vocab_size=100, n_shards=8, seed="ep0",
+        )
+        out = spark.read.parquet(f"{base}/training_shards/ep0")
+        h = hex_to_long(
+            F.substring(
+                row_md5(
+                    F.col("doc_id"), F.col("pos"), F.col("n_tokens"),
+                    F.col("n_oov"), F.col("ids_csv"),
+                ),
+                1,
+                10,
+            )
+        )
+        return (
+            out.groupBy(F.col("shard").cast("long").alias("shard"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(h).alias("content_hash"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

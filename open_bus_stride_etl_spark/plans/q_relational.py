@@ -230,52 +230,18 @@ def distinct_set_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- W1: row_number per group, top-n (add_ride_durations first/last rows) -
-
-@query(
-    "top2_per_user",
-    """
-    SELECT user_id, event_id, ts, rn FROM (
-      SELECT user_id, event_id, ts,
-             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS INTEGER) AS rn
-      FROM events) t
-    WHERE rn <= 2
-    """,
-)
-def top2_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 2)
-        .select("user_id", "event_id", "ts", "rn")
-    )
+# --- W1: row_number per group, top-n (add_ride_durations first/last
+#     rows): the registered query top2_per_user was RETIRED in r8
+#     (d2+d6 double-green true twin — the rank-and-filter ordering is
+#     exercised by training_shard_order and verified end-to-end inside
+#     shard_export_invariance's per-shard pos contract). -------------------
 
 
 # --- W2: ordered per-group iteration / group-break detection
-#     (update_ride_stops_vehicle_locations.py:91-101) — as lag() gaps ------
-
-@query(
-    "session_gaps",
-    """
-    SELECT user_id, COUNT(*) AS n_gaps FROM (
-      SELECT user_id,
-             date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s
-      FROM events) t
-    WHERE gap_s > 1800
-    GROUP BY user_id
-    """,
-)
-def session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    return (
-        ev.withColumn("gap_s", gap)
-        .where(F.col("gap_s") > 1800)
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_gaps"))
-    )
+#     (update_ride_stops_vehicle_locations.py:91-101): the registered
+#     query session_gaps was RETIRED in r8 (d3+d6 double-green true twin
+#     of streaming_session_windows, whose oracle pins the identical
+#     30-minute-gap break semantics). --------------------------------------
 
 
 # --- W3: running min per key (update_ride_stops_vehicle_locations.py:33-38

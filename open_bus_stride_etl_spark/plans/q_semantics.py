@@ -14,7 +14,7 @@ from ..functions.hashing import hex_to_long, row_md5
 from ..operators.argmin_join import nearest_by_distance
 from ..operators.banded_join import banded_priority_join
 from ..operators.enrich import enrich_update
-from ..operators.first_last import first_last_by, ride_durations
+from ..operators.first_last import first_last_by
 from ..sources.lake import load_table
 from .registry import query
 
@@ -233,53 +233,12 @@ def computed_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "gtfs_key", F.col("k").alias("joined_ref"))
 
 
-# --- A4 with guards: ride durations with settle/staleness semantics
-#     (add_ride_durations.py:68-84). 'now' is pinned so the result is
-#     deterministic. -------------------------------------------------------
-
-_NOW = "2024-01-31 00:00:00"
-
-_RIDE_DUR_ORACLE = f"""
-    WITH ranked AS (
-      SELECT user_id, event_id, ts,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts ASC NULLS LAST, event_id ASC) AS rn_f,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts DESC NULLS LAST, event_id DESC) AS rn_l
-      FROM events
-    ),
-    -- tie-safe first/last: arg_min(event_id, ts) is tie-arbitrary and
-    -- duplicate (user_id, ts) pairs exist at larger SFs; the Spark side
-    -- min_by's on struct(ts, event_id)
-    r AS (
-      SELECT user_id,
-             MAX(CASE WHEN rn_f = 1 AND ts IS NOT NULL THEN event_id END) AS first_vehicle_location_id,
-             MAX(CASE WHEN rn_l = 1 AND ts IS NOT NULL THEN event_id END) AS last_vehicle_location_id,
-             MIN(ts) AS first_ts, MAX(ts) AS last_ts
-      FROM ranked GROUP BY user_id
-    )
-    SELECT user_id, first_vehicle_location_id, last_vehicle_location_id,
-           first_ts, last_ts,
-           CASE
-             WHEN last_ts < TIMESTAMP '{_NOW}' - INTERVAL 6 HOUR
-               THEN CAST(ROUND(CAST(date_diff('second', first_ts, last_ts) AS DOUBLE) / 60.0) AS INT)
-             WHEN first_ts < TIMESTAMP '{_NOW}' - INTERVAL 2 DAY THEN 0
-             ELSE NULL
-           END AS duration_minutes
-    FROM r
-    """
-
-
-@query("ride_durations_guarded", _RIDE_DUR_ORACLE)
-def ride_durations_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return ride_durations(
-        ev,
-        ride_col="user_id",
-        ts_col="ts",
-        id_col="event_id",
-        now=F.lit(_NOW).cast("timestamp"),
-    )
+# --- A4 with guards (ride_durations settle/staleness semantics,
+#     add_ride_durations.py:68-84): the registered query
+#     ride_durations_guarded was RETIRED in r8 (d3+d6 double-green true
+#     twin of first_last_durations; the settle/stale guard branches stay
+#     pinned by tests/test_first_last.py and the operator is unchanged
+#     in operators/first_last.py:ride_durations). -------------------------
 
 
 # --- A5: first/last by sequence number (gtfs/update_ride_aggregations.py:
@@ -370,35 +329,11 @@ def ts_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- F5+F10: Israel-timezone conversion + export canonicalization
-#     (common.py:12-21; packagers/siri.py:70-80: NULL -> '', datetimes ->
-#     Israel-local ISO strings, numerics -> exact strings) -----------------
-
-@query(
-    "canonical_export",
-    """
-    SELECT event_id,
-           strftime(timezone('Asia/Jerusalem', timezone('UTC', ts)), '%Y-%m-%d %H:%M:%S')
-             AS ts_israel,
-           CAST(date_part('hour', timezone('Asia/Jerusalem', timezone('UTC', ts))) AS INT)
-             AS israel_hour,
-           CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR) AS value_c_str,
-           COALESCE(CASE WHEN event_type = 'error' THEN NULL ELSE props END, '') AS props_c
-    FROM events
-    """,
-)
-def canonical_export(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    il = F.from_utc_timestamp("ts", "Asia/Jerusalem")
-    return ev.select(
-        "event_id",
-        F.date_format(il, "yyyy-MM-dd HH:mm:ss").alias("ts_israel"),
-        F.hour(il).cast("int").alias("israel_hour"),
-        F.round(F.col("value") * 100).cast("long").cast("string").alias("value_c_str"),
-        F.coalesce(
-            F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("props")),
-            F.lit(""),
-        ).alias("props_c"),
-    )
+#     (common.py:12-21; packagers/siri.py:70-80): the registered query
+#     canonical_export was RETIRED in r8 (d2+d6 double-green true twin
+#     of content_hash's canonical NULL-sentinel serialization; the
+#     Israel-tz kernel stays in functions/timeutil.py with DST coverage
+#     in tests/test_timezone.py). ------------------------------------------
 
 
 # --- F12: JSON extraction (artifacts metadata_json; props is JSON text) ---

@@ -272,68 +272,56 @@ _DEMOTE_LAST = [
     # streaming_session_windows), hourly_minmax (same oracle as
     # streaming_hourly_events), sample_10pct_stats (same md5-bucket
     # membership as stratified_sample_counts / balanced_corpus).
-    # --- Round-6 rotation (VERDICT r5 item 1): the 12 tail queries whose
-    # newest driver verdict dated to r2 (two refactor generations old)
-    # were promoted back into the window: time_window_halfopen,
-    # customers_with_open_orders, sort_nulls_last_topk, top2_per_user,
-    # distinct_set_per_day, customers_without_orders, canonical_export,
-    # left_band_join, completeness_ratio, json_extract_filter,
-    # ledger_missing_dates, rollup_revenue. The registered cosine_topk
-    # query was RETIRED outright (VERDICT r5 item 3): the last
-    # corpus-proportional query slice; its exact kernel stays
-    # driver-verified inside ann_recall_eval. Slots came from the
-    # r5-verified one-shots below — the 11 queries r5 re-promoted for
-    # re-verification (all freshly green in CORRECTNESS_r05) plus the
-    # r5 newcomers, each with an in-window family twin:
-    "null_marker_todo",  # d1+d5; IS NULL marker ≡ outer-join null side via ledger_missing_dates (repointed r7: old cover demoted)
-    "like_prefix",  # d1+d5; string-predicate filter via pii_redaction_stats (repointed r7); kept registered as the sole LIKE carrier (SURVEY P5)
-    "window_id_bounds",  # d1+d5; min/max extremes via first_last_durations
-    "running_min",  # d1+d5; window frame agg via quantile_quality_keep's cumulative histogram
-    "topk_recent",  # d1+d5; order-by+limit top-k via sort_nulls_last_topk
-    "first_last_by_seq",  # d1+d5; first/last-by-sequence via first_last_durations
-    "ann_ivf_persisted_topk",  # d5-green; _partitioned_probe kernel via ann_lsh_multiprobe_topk, trainer via kmeans_assign
-    "streaming_dedup_exact",  # d5-green; exact-fingerprint dedup vs index via dedup_incremental
-    "streaming_upsert_snapshot",  # d5-green; keyed latest-state stream via streaming_user_first_last
-    # --- mid-r6: slot freed for streaming_dedup_lsh (persisted band
-    # index + foreachBatch probe — the near-dup superset of the
-    # incremental-vs-seen-index family) ---
-    "dedup_incremental",  # d5-green; seen-index anti/probe join via streaming_dedup_lsh
-    # --- Round-7 rotation (VERDICT r6 items 1, 6, 7): the 12 tail
-    # queries whose newest driver verdict dated to r4 (two refactor
-    # generations old) were promoted back into the window:
-    # geodesic_agreement, tokenize_vocab_ids, epoch_upsample_mix,
-    # training_shard_order, streaming_ride_tracker,
-    # streaming_enriched_events, streaming_hourly_distinct_users,
-    # group_day_type, computed_key_join, moving_avg_frame,
-    # dedup_embedding_cosine, ann_ivf_topk. Five d1+d5 double-green true
-    # twins were RETIRED outright (r5 precedent, zero coverage loss —
-    # each family exactly held by a registered twin): date_window_inclusive,
-    # enum_neq_counts, bbox_filter, multikey_join, exact_ts_join
-    # (like_prefix stays registered — it is the sole LIKE-predicate
-    # carrier for SURVEY P5). Slots for the promotions plus the new
-    # compact_roundtrip_hash (task-layer compaction invariance) came
-    # from these r6-verified queries, each now 2x+ driver-green with an
-    # in-window family twin — including the VERDICT item-7 twin swap:
-    # the production-rule semdedup_scaled_pairs holds the in-window
-    # slot, the fixed-k oracle-tractability baseline moves to the tail.
+    # --- Round-6/7 rotation history: see git log for the full per-round
+    # narratives (r6: VERDICT r5 item 1 — 12 r2-stale promotions,
+    # cosine_topk retired; r7: VERDICT r6 items 1/6/7 — 12 r4-stale
+    # promotions, five d1+d5 true twins retired, semdedup twin swap,
+    # mid-r7 dedup_simhash60 slot). Surviving r6/r7 demotions below.
     "time_window_halfopen",  # d1+d2+d6; half-open time-window predicate via streaming_hourly_events' hour buckets
     "customers_with_open_orders",  # d1+d2+d6; membership semi-join ≡ band-hit probe via streaming_dedup_lsh
     "customers_without_orders",  # d1+d2+d6; anti-join family via corpus_clean_keep's left-anti removal
-    "top2_per_user",  # d2+d6; row_number-per-group rank via training_shard_order
-    "distinct_set_per_day",  # d2+d6; distinct-per-window accumulation via streaming_hourly_distinct_users
-    "canonical_export",  # d2+d6; canonical row serialization via content_hash
+    "distinct_set_per_day",  # d2+d6; distinct-set-per-group accumulation via term_df_top20's per-term distinct-doc counts (repointed r8: old cover demoted)
     "left_band_join",  # d2+d6; banded interval join via banded_priority_match
     "completeness_ratio",  # d2+d6; single-row broadcast cross-join ratio via split_leakage_check
     "json_extract_filter",  # d2+d6; string-extraction predicate via pii_redaction_stats
     "rollup_revenue",  # d2+d6; grouped money aggregate via pricing_summary
-    "session_gaps",  # d3+d6; same session-gap semantics via streaming_session_windows
-    "ride_durations_guarded",  # d3+d6; guarded first/last durations via first_last_durations
     "semdedup_pairs",  # d5+d6; fixed-k oracle-tractability twin of semdedup_scaled_pairs (VERDICT r6 item 7 swap)
-    # --- mid-r7: slot freed for dedup_simhash60 (the measured production
-    # band-width config gets its own driver verdict; the 32-bit twin's
-    # banded-candidate SQL stays driver-verified verbatim inside
-    # dedup_groups_cc's oracle, which shares the CTE) ---
-    "dedup_simhash_hamming",  # d2-d6 multi-green; 32-bit oracle-chain twin of dedup_simhash60; candidate SQL in-window via dedup_groups_cc
+    "dedup_simhash_hamming",  # d2-d6 multi-green; 32-bit oracle-chain twin of dedup_simhash60 (repointed r8: dedup_groups_cc demoted)
+    # --- Round-8 rotation (VERDICT r7 items 2, 3, 6): the pre-declared
+    # rotation debt was PAID — the six d1+d5 demotes (null_marker_todo,
+    # like_prefix, window_id_bounds, running_min, topk_recent,
+    # first_last_by_seq) and the four d5-green one-shots
+    # (ann_ivf_persisted_topk, streaming_dedup_exact,
+    # streaming_upsert_snapshot, dedup_incremental) are back in the
+    # window for re-verification. Four double-green true twins were
+    # RETIRED outright (r5/r7 precedent, zero coverage loss): top2_per_user
+    # (W1 row_number-rank ⊂ training_shard_order + the new
+    # shard_export_invariance's pos contract), canonical_export (F14
+    # canonical serialization ⊂ content_hash), session_gaps (W2 gap
+    # break ⊂ streaming_session_windows, same oracle semantics),
+    # ride_durations_guarded (A4 settle/stale guards ⊂
+    # first_last_durations + pytest). Slots for the promotions plus the
+    # three r8 newcomers (dedup_groups_cc60 — the production-width CC
+    # pipeline's own verdict, VERDICT item 2; ingest_replay_idempotence —
+    # the crash-replay contract, item 4; shard_export_invariance — the
+    # export task's artifact contract, item 8) came from the VERDICT
+    # item-2 twin swap (dedup_groups_cc -> tail: its oracle chain stays,
+    # production width holds the in-window slot) and the 12 freshest
+    # double-greens — the r4-stale queries re-verified in r7, each with
+    # an in-window family twin:
+    "dedup_groups_cc",  # d2-d7 multi-green; 32-bit oracle-chain twin of dedup_groups_cc60 (VERDICT r7 item 2 swap)
+    "geodesic_agreement",  # d4+d7; haversine/geodesic geo-distance family via nearest_point_per_user
+    "tokenize_vocab_ids",  # d4+d7; tokenize_with_vocab contract verified verbatim inside shard_export_invariance (shared _SQL_TOKENIZE CTE)
+    "epoch_upsample_mix",  # d4+d7; salted md5-bucket stream family via balanced_corpus
+    "training_shard_order",  # d4+d7; shard_shuffle (bucket-then-rank) contract verified inside shard_export_invariance
+    "streaming_ride_tracker",  # d4+d7; keyed stateful streaming tracker family via streaming_user_first_last
+    "streaming_enriched_events",  # d4+d7; streaming join family via streaming_click_purchase_join
+    "streaming_hourly_distinct_users",  # d4+d7; hourly windowed agg via streaming_hourly_events; distinct accumulation via term_df_top20
+    "group_day_type",  # d4+d7; multi-key grouped agg family via pricing_summary
+    "computed_key_join",  # d4+d7; derived-key equi-join family via code_date_dim_join
+    "moving_avg_frame",  # d4+d7; window frame aggregate family via running_min (promoted r8)
+    "dedup_embedding_cosine",  # d2-d4+d7; embedding near-dup family via semdedup_scaled_pairs
+    "ann_ivf_topk",  # d7; IVF train+probe ⊂ ann_ivf_persisted_topk's persisted lifecycle (promoted r8)
 ]
 
 # Auditable coverage ledger (VERDICT r3 item 8): every demoted query
@@ -351,34 +339,32 @@ COVERED_BY = {
     "lang_id": "text_quality",  # pure-column text family
     "doc_fingerprints": "content_hash",  # md5/rolling-hash fingerprints
     "dedup_ngram_jaccard": "dedup_minhash_lsh",  # candidate-pair Jaccard is a stage of the LSH path
-    # (r5-demoted rows for the 12 queries promoted back in r7 removed;
-    # retired-in-r7 rows removed with their registrations)
-    # r6 demotions:
-    "null_marker_todo": "ledger_missing_dates",  # IS NULL marker predicate ≡ outer-join null-side detection (repointed r7)
-    "like_prefix": "pii_redaction_stats",  # string-predicate filter family (repointed r7; sole LIKE carrier, SURVEY P5)
-    "window_id_bounds": "first_last_durations",  # per-group min/max extremes
-    "running_min": "quantile_quality_keep",  # window frame aggregate (cumulative histogram core)
-    "topk_recent": "sort_nulls_last_topk",  # order-by + limit top-k
-    "first_last_by_seq": "first_last_durations",  # first/last endpoint family
-    "ann_ivf_persisted_topk": "ann_lsh_multiprobe_topk",  # shared one-pass _partitioned_probe; trainer via kmeans_assign
-    "streaming_dedup_exact": "streaming_dedup_lsh",  # streaming dedup-vs-index family (near-dup superset in-window)
-    "streaming_upsert_snapshot": "streaming_user_first_last",  # keyed latest-state streaming aggregate
-    "dedup_incremental": "streaming_dedup_lsh",  # seen-index probe join (exact anti-join ⊂ band-bucket probe)
+    # (rows for promoted/retired queries are removed with each rotation)
     # r7 demotions:
     "time_window_halfopen": "streaming_hourly_events",  # half-open time-window predicate (hour bucketing is half-open by construction)
     "customers_with_open_orders": "streaming_dedup_lsh",  # membership semi-join ≡ index band-hit probe
     "customers_without_orders": "corpus_clean_keep",  # anti-join family (left-anti removal of flagged docs)
-    "top2_per_user": "training_shard_order",  # row_number-per-group rank-and-filter ordering
-    "distinct_set_per_day": "streaming_hourly_distinct_users",  # distinct-per-window accumulation
-    "canonical_export": "content_hash",  # canonical row serialization (NULL-sentinel join of string forms)
+    "distinct_set_per_day": "term_df_top20",  # distinct-set-per-group accumulation (distinct docs per term; repointed r8)
     "left_band_join": "banded_priority_match",  # banded interval join family
     "completeness_ratio": "split_leakage_check",  # single-row broadcast cross-join ratio (the repo's two crossJoins)
     "json_extract_filter": "pii_redaction_stats",  # string-extraction predicate family
     "rollup_revenue": "pricing_summary",  # grouped money aggregate family
-    "session_gaps": "streaming_session_windows",  # same session-gap break detection semantics
-    "ride_durations_guarded": "first_last_durations",  # guarded first/last duration family
     "semdedup_pairs": "semdedup_scaled_pairs",  # fixed-k oracle-tractability twin of the production scaled-k rule
-    "dedup_simhash_hamming": "dedup_groups_cc",  # identical 32-bit simhash+banding CTE is that oracle's upstream; production width via dedup_simhash60
+    "dedup_simhash_hamming": "dedup_simhash60",  # banded simhash hamming family at production width (repointed r8)
+    # r8 demotions:
+    "dedup_groups_cc": "dedup_groups_cc60",  # same CC operator + banded candidate equi-join; production band width in-window
+    "geodesic_agreement": "nearest_point_per_user",  # haversine geo-distance family
+    "tokenize_vocab_ids": "shard_export_invariance",  # tokenize_with_vocab verified verbatim (shared _SQL_TOKENIZE CTE)
+    "epoch_upsample_mix": "balanced_corpus",  # salted md5-bucket membership stream family
+    "training_shard_order": "shard_export_invariance",  # shard_shuffle bucket-then-rank contract verified inside
+    "streaming_ride_tracker": "streaming_user_first_last",  # keyed stateful streaming tracker family
+    "streaming_enriched_events": "streaming_click_purchase_join",  # streaming join family (stream-static ⊂ stream-stream machinery)
+    "streaming_hourly_distinct_users": "streaming_hourly_events",  # hourly event-time windowed aggregation family
+    "group_day_type": "pricing_summary",  # multi-key grouped aggregation family
+    "computed_key_join": "code_date_dim_join",  # derived-key equi-join family
+    "moving_avg_frame": "running_min",  # window frame aggregate family
+    "dedup_embedding_cosine": "semdedup_scaled_pairs",  # embedding near-dup (sign-LSH + blocked matmul) family
+    "ann_ivf_topk": "ann_ivf_persisted_topk",  # IVF train+probe ⊂ the persisted index lifecycle
 }
 
 

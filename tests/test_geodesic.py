@@ -70,3 +70,51 @@ def test_distance_meters_dispatch(spark):
 
 def test_geodesic_zero_for_coincident_points(spark):
     assert _one(spark, geodesic_meters, 32.0, 34.0, 32.0, 34.0) == 0.0
+
+
+def test_geodesic_stays_vectorized_no_optional_library_branch(spark):
+    """VERDICT r7 item 5: geodesic_meters must route every Arrow batch
+    through the module-level numpy Vincenty kernel — never a per-row
+    library loop that an installed optional package could silently
+    re-enable. Pins (a) no third-party geodesic import is reachable
+    from functions/geo.py, and (b) the Spark column output is
+    bit-identical to vincenty_meters_np called directly on the batch."""
+    import inspect
+
+    import numpy as np
+
+    from open_bus_stride_etl_spark.functions import geo
+    from open_bus_stride_etl_spark.functions.geo import vincenty_meters_np
+
+    src = inspect.getsource(geo)
+    for line in src.split("\n"):
+        stripped = line.strip()
+        assert not (
+            stripped.startswith(("import geopy", "from geopy"))
+        ), f"per-row geodesic library branch reintroduced: {stripped!r}"
+
+    lat1, lon1, lat2, lon2 = (
+        np.array([a for _, a, _, _, _ in ROUTES]),
+        np.array([b for _, _, b, _, _ in ROUTES]),
+        np.array([c for _, _, _, c, _ in ROUTES]),
+        np.array([d for _, _, _, _, d in ROUTES]),
+    )
+    expected = vincenty_meters_np(lat1, lon1, lat2, lon2)
+    rows = [Row(name=n, lat1=a, lon1=b, lat2=c, lon2=d) for n, a, b, c, d in ROUTES]
+    # one partition -> one Arrow batch: the kernel's shared convergence
+    # loop makes results batch-composition-dependent at the 1e-8 level,
+    # so bit-identity is only defined against the same batch
+    got = {
+        r["name"]: r["m"]
+        for r in spark.createDataFrame(rows)
+        .coalesce(1)
+        .select(
+            "name",
+            geodesic_meters(
+                F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")
+            ).alias("m"),
+        )
+        .collect()
+    }
+    for (name, *_), exp in zip(ROUTES, expected):
+        assert got[name] == exp  # bit-identical: same kernel, same batch dtype

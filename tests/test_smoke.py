@@ -111,7 +111,10 @@ def test_bench_summary_line_under_400b():
         sf=100.0,
         n_queries=99,
         headline_timings=worst_timings,
-        canary={"pre": 99.99, "post": 99.99, "fast_ref": 4.6, "clean": False},
+        # canary readings CAN exceed 100 s under real contention (r7 saw
+        # 27.88 s on an idle-box stretch; model a decade of slack) — the
+        # modeled widths must be at least as wide as any real artifact
+        canary={"pre": 999.99, "post": 999.99, "fast_ref": 4.6, "clean": False},
     )
     line = json.dumps(payload, separators=(",", ":"))
     assert len(line.encode()) < 400, f"{len(line.encode())} bytes: {line}"

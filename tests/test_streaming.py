@@ -44,7 +44,14 @@ def _run_to_memory(df, name, mode, spark):
         .start()
     )
     try:
-        q.awaitTermination(120)
+        # awaitTermination returns False on timeout (no raise): stop the
+        # query before the finally rmtree's its checkpoint, or a slow
+        # run turns into a confusing mid-stream failure instead of a
+        # clean assertion here.
+        terminated = q.awaitTermination(120)
+        if not terminated:
+            q.stop()
+        assert terminated, f"stream {name} did not finish within 120s"
         return spark.table(name)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)  # don't leak /tmp dirs per run
