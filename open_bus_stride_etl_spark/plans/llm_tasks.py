@@ -338,6 +338,35 @@ def llm_ann_query(
     return metrics
 
 
+def build_training_shards(
+    docs: DataFrame, vocab_size: int = 100, n_shards: int = 8, seed: str = "ep0"
+) -> DataFrame:
+    """The export task's logical plan, pre-write (factored out r8 so
+    tests/test_partitioning.py can canary the plan shape): corpus-derived
+    top-``vocab_size`` DF vocabulary (distributed top-k then a
+    vocab_size-row window — bounded, never a global rank of the term
+    table), tokenize_with_vocab, seeded shard_shuffle (bucket-then-rank:
+    n_shards window partitions, NEVER one global sort), one repartition
+    by shard with partition-local ordering by pos."""
+    from ..operators import corpus_stats as cs  # noqa: PLC0415
+    from ..operators import sampling as sp  # noqa: PLC0415
+
+    order = [F.col("df").desc(), F.col("term").asc()]
+    head = cs.term_document_frequency(docs).orderBy(*order).limit(vocab_size)
+    vocab = head.select(
+        "term", F.row_number().over(Window.orderBy(*order)).cast("long").alias("token_id")
+    )
+    toks = cs.tokenize_with_vocab(docs, vocab)
+    order_df = sp.shard_shuffle(docs, n_shards=n_shards, seed=seed)
+    return (
+        toks.join(order_df, on="doc_id")
+        .select("doc_id", "shard", "pos", "n_tokens", "n_oov", "ids_csv")
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+    )
+
+
+
 @task(
     "llm-export-training-shards",
     cadence="daily",
@@ -380,33 +409,15 @@ def llm_export_training_shards(
     import os  # noqa: PLC0415
 
     configure(spark)
-    from ..operators import corpus_stats as cs  # noqa: PLC0415
-    from ..operators import sampling as sp  # noqa: PLC0415
 
     src = in_dir
     if src is None:
         cur = f"{base_dir}/curated_documents"
         src = cur if os.path.isdir(cur) else f"{base_dir}/documents.parquet"
     docs = spark.read.parquet(src)
-
-    order = [F.col("df").desc(), F.col("term").asc()]
-    head = cs.term_document_frequency(docs).orderBy(*order).limit(vocab_size)
-    vocab = head.select(
-        "term", F.row_number().over(Window.orderBy(*order)).cast("long").alias("token_id")
-    )
-    toks = cs.tokenize_with_vocab(docs, vocab)
-    order_df = sp.shard_shuffle(docs, n_shards=n_shards, seed=seed)
-    sharded = toks.join(order_df, on="doc_id").select(
-        "doc_id", "shard", "pos", "n_tokens", "n_oov", "ids_csv"
-    )
+    sharded = build_training_shards(docs, vocab_size=vocab_size, n_shards=n_shards, seed=seed)
     out = out_dir or f"{base_dir}/training_shards/{seed}"
-    (
-        sharded.repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", "pos")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(out)
-    )
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(out)
     stats = spark.read.parquet(out).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("shard").alias("n_shards_written"),
@@ -481,7 +492,16 @@ def llm_stream_ingest_dedup(
     totals = {"n_ingested": 0, "n_novel": 0, "n_batches": 0}
 
     def _admit(batch: DataFrame, batch_id: int) -> None:
-        batch = batch.localCheckpoint(eager=True)  # two consumers below
+        # A micro-batch often arrives as ONE source file = one input
+        # partition (maxFilesPerTrigger=1 is exactly one), and the
+        # shingle/MinHash map work happens BEFORE any exchange — left
+        # alone it runs single-threaded over the whole batch (measured
+        # r8: 35 s/batch at 250k docs vs ~7 s spread). Re-spread to the
+        # session's parallelism before materializing; hash-membership
+        # semantics are partitioning-invariant.
+        batch = batch.repartition(
+            batch.sparkSession.sparkContext.defaultParallelism
+        ).localCheckpoint(eager=True)  # two consumers below
         buckets = dd.band_buckets(dd.minhash_signatures(batch))
         have_index = any(
             f.startswith("batch=") for f in os.listdir(idx_dir)
