@@ -250,14 +250,6 @@ def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ≥1 driver row across rounds.
 DRIVER_WINDOW = 50
 _DEMOTE_LAST = [
-    # --- r4 rotation (VERDICT r3 item 1): r3-green queries whose
-    # families stay redundantly covered in-window ---
-    "dedup_exact_groups",
-    "stratified_sample_counts",
-    "doc_chunks",
-    "lang_id",
-    "doc_fingerprints",
-    "dedup_ngram_jaccard",
     # --- Round-5 rotation (VERDICT r4 item 1): re-verification. The 11
     # tail queries whose ONLY driver-green rows dated to r1 (verified
     # against a codebase two major refactors ago) were promoted back
@@ -322,6 +314,21 @@ _DEMOTE_LAST = [
     "moving_avg_frame",  # d4+d7; window frame aggregate family via running_min (promoted r8)
     "dedup_embedding_cosine",  # d2-d4+d7; embedding near-dup family via semdedup_scaled_pairs
     "ann_ivf_topk",  # d7; IVF train+probe ⊂ ann_ivf_persisted_topk's persisted lifecycle (promoted r8)
+    # --- r8 extension (the full stale sweep): the six r4-demoted rows
+    # (dedup_exact_groups, stratified_sample_counts, doc_chunks, lang_id,
+    # doc_fingerprints, dedup_ngram_jaccard) still carried r3-era
+    # verdicts — FIVE refactor generations old, the oldest in the
+    # registry — so they are promoted too, swapping with six 5-7x
+    # driver-green window residents whose families their promotions (or
+    # other in-window queries) now hold. After this sweep NO registered
+    # query's newest driver verdict predates r6 (the VERDICT r7 item-3
+    # done-criterion), assuming CORRECTNESS_r08 comes back green.
+    "content_hash",  # d1-d7 (7x); F14 order-insensitive hash kernel verified in-query by compact_roundtrip_hash
+    "reservoir_per_user",  # d2-d7 (6x); md5-bucket membership via stratified_sample_counts (promoted r8)
+    "packed_batches",  # d2-d7 (6x); chunk/pack family via doc_chunks (promoted r8)
+    "text_quality",  # d1-d7 (7x); quality/lang scoring runs in-query in corpus_clean_keep
+    "kmeans_assign",  # d3-d7 (5x); the same kmeans_fit trainer runs inside ann_ivf_persisted_topk (promoted r8)
+    "sort_nulls_last_topk",  # d1+d2+d6+d7; order-by+limit top-k via topk_recent (promoted r8); NULLS LAST keys also pinned by first_last_durations' nulls-last min_by/max_by
 ]
 
 # Auditable coverage ledger (VERDICT r3 item 8): every demoted query
@@ -333,12 +340,6 @@ _DEMOTE_LAST = [
 # local check_oracle gate every round and has >= 1 driver-green row in
 # some past round (the rotation policy above).
 COVERED_BY = {
-    "dedup_exact_groups": "split_leakage_check",  # exact-fingerprint components (fingerprint -> min-doc_id groupBy) built in-query there
-    "stratified_sample_counts": "reservoir_per_user",  # md5-bucket membership core
-    "doc_chunks": "packed_batches",  # chunking family
-    "lang_id": "text_quality",  # pure-column text family
-    "doc_fingerprints": "content_hash",  # md5/rolling-hash fingerprints
-    "dedup_ngram_jaccard": "dedup_minhash_lsh",  # candidate-pair Jaccard is a stage of the LSH path
     # (rows for promoted/retired queries are removed with each rotation)
     # r7 demotions:
     "time_window_halfopen": "streaming_hourly_events",  # half-open time-window predicate (hour bucketing is half-open by construction)
@@ -365,6 +366,13 @@ COVERED_BY = {
     "moving_avg_frame": "running_min",  # window frame aggregate family
     "dedup_embedding_cosine": "semdedup_scaled_pairs",  # embedding near-dup (sign-LSH + blocked matmul) family
     "ann_ivf_topk": "ann_ivf_persisted_topk",  # IVF train+probe ⊂ the persisted index lifecycle
+    # r8 stale-sweep demotions (reverse twin swaps with the six promotions):
+    "content_hash": "compact_roundtrip_hash",  # F14 order-insensitive content hash computed in-query there (same row_md5/hex_to_long kernel)
+    "reservoir_per_user": "stratified_sample_counts",  # md5-bucket membership core (hash_bucket_bp streams)
+    "packed_batches": "doc_chunks",  # chunking/packing family (posexplode map-local windows)
+    "text_quality": "corpus_clean_keep",  # quality_score_bp + lang_id gate the in-window curation capstone
+    "kmeans_assign": "ann_ivf_persisted_topk",  # kmeans_fit trains the persisted IVF index in-query
+    "sort_nulls_last_topk": "topk_recent",  # order-by + limit top-k; NULLS LAST ordering keys also in first_last_durations
 }
 
 
