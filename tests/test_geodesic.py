@@ -118,3 +118,42 @@ def test_geodesic_stays_vectorized_no_optional_library_branch(spark):
     }
     for (name, *_), exp in zip(ROUTES, expected):
         assert got[name] == exp  # bit-identical: same kernel, same batch dtype
+
+
+# --- numpy-kernel property tests (no Spark session; fast) ----------------
+
+def test_vincenty_kernel_properties():
+    """Property pins on vincenty_meters_np directly: symmetry,
+    non-negativity, zero at coincidence, and haversine agreement within
+    the documented drift bound — guards the kernel now that it is the
+    sole exact path (r8 geopy-branch removal)."""
+    import numpy as np
+
+    from open_bus_stride_etl_spark.functions.geo import vincenty_meters_np
+
+    rng = np.random.default_rng(20260816)
+    n = 256
+    # bus-route-scale pairs: points within ~2 degrees of each other,
+    # mid-latitudes (the reference's operating envelope)
+    lat1 = rng.uniform(29.0, 34.0, n)
+    lon1 = rng.uniform(34.0, 36.0, n)
+    lat2 = lat1 + rng.uniform(-1.0, 1.0, n)
+    lon2 = lon1 + rng.uniform(-1.0, 1.0, n)
+
+    d_fwd = vincenty_meters_np(lat1, lon1, lat2, lon2)
+    d_rev = vincenty_meters_np(lat2, lon2, lat1, lon1)
+    assert np.all(d_fwd >= 0)
+    np.testing.assert_allclose(d_fwd, d_rev, rtol=1e-9)
+
+    zero = vincenty_meters_np(lat1, lon1, lat1.copy(), lon1.copy())
+    assert np.all(zero == 0.0)
+
+    # haversine (spherical) agreement: < 0.6% on this envelope
+    r = 6371000.0
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    dphi, dlam = np.radians(lat2 - lat1), np.radians(lon2 - lon1)
+    a = np.sin(dphi / 2) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dlam / 2) ** 2
+    hav = 2 * r * np.arctan2(np.sqrt(a), np.sqrt(1 - a))
+    nz = d_fwd > 1.0
+    drift = np.abs(hav[nz] - d_fwd[nz]) / d_fwd[nz]
+    assert drift.max() < 0.006, f"max drift {drift.max():.4%}"
