@@ -45,7 +45,9 @@ def geodesic_meters(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> C
     (exact Karney parity when the public PyPI package was installed)
     was REMOVED in r8: it silently de-vectorized the batch into a
     per-row Python loop (VERDICT r7 item 5);
-    tests/test_geo.py pins this function to the vectorized path."""
+    tests/test_geodesic.py
+    (test_geodesic_stays_vectorized_no_optional_library_branch) pins
+    this function to the vectorized path."""
     from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
 
     @pandas_udf("double")

@@ -1956,3 +1956,99 @@ def shard_export_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "curate_incremental_noop",
+    "WITH " + _SQL_SHINGLES + ", " + _SQL_MINHASH + ", " + _SQL_BUCKETS + ","
+    """
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    """ + _SQL_JACCARD + f""",
+    nd AS (SELECT DISTINCT j.doc_b FROM jac j
+           JOIN cand c ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+           WHERE j.jaccard_bp >= 5000),
+    scored AS (
+      SELECT doc_id, {_SQL_QUALITY} AS quality_bp,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             {_SQL_LANG_SCORES}
+      FROM documents
+    ),
+    langed AS (SELECT doc_id, quality_bp, fp, {_SQL_LANG_CASE} AS predicted_lang FROM scored),
+    k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS min_id FROM langed),
+    surv AS (
+      SELECT doc_id FROM k
+      WHERE quality_bp >= 2000 AND predicted_lang IN ('en', 'und')
+        AND doc_id = min_id AND doc_id NOT IN (SELECT doc_b FROM nd)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_final_run1,
+           CAST(SUM(CAST(('0x' || substr(md5(
+             COALESCE(CAST(s.doc_id AS VARCHAR), chr(0) || 'NULL' || chr(0)) || '|' ||
+             COALESCE(d.text, chr(0) || 'NULL' || chr(0))
+           ), 1, 10)) AS BIGINT)) AS BIGINT) AS survivor_hash,
+           CAST(0 AS BIGINT) AS n_final_run2,
+           CAST(COUNT(*) AS BIGINT) AS n_seen_dropped_run2,
+           CAST(COUNT(*) AS BIGINT) AS n_index_fps
+    FROM surv s JOIN documents d ON d.doc_id = s.doc_id
+    """,
+)
+def curate_incremental_noop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL-CURATE no-op contract (VERDICT r8 ask #6): the last
+    pytest-only data-touching LLM task gets a hard driver verdict. Runs
+    the REAL llm-curate-corpus task TWICE over the same staged corpus
+    with a shared ``history_dir``: run 1 curates and appends the
+    survivors' fingerprints to the seen-index; run 2 must admit ZERO
+    documents (every would-be survivor's fingerprint is already
+    indexed: n_seen_dropped == n_final_run1, n_final == 0) and must not
+    grow the index. The run-1 artifact (what a downstream tokenizer
+    reads) is pinned by an order-insensitive (doc_id, text) hash
+    against the corpus_clean_keep analytic oracle — the task's
+    selection logic IS that query's contract (quality >= 2000, lang
+    en/und, exact-dup min-id keeper, LSH near-dup loser pruning).
+
+    Scale shape (the task's): one map-combined scoring pass, the exact-
+    dup fingerprint window, the flattened MinHash-LSH pair plan, and a
+    seen-index anti-join that is a plain AQE equi-join on an 8-byte key
+    (the Bloom variant was measured 12x slower and reverted — bloom.py).
+    The index grows with unique content, not crawl volume.
+    Self-contained: temp base removed before returning."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ..functions.hashing import hex_to_long, row_md5  # noqa: PLC0415
+    from . import llm_tasks  # noqa: PLC0415,F401 - registers the task
+    from .tasks import run_task  # noqa: PLC0415
+
+    base = tempfile.mkdtemp(prefix="curate_inc_")
+    try:
+        _docs(spark, sf_dir).select("doc_id", "text").write.mode("overwrite").parquet(
+            f"{base}/documents.parquet"
+        )
+        hist = f"{base}/hist"
+        run_task(
+            spark, "llm-curate-corpus", base_dir=base,
+            out_dir=f"{base}/out1", history_dir=hist,
+        )
+        m2 = run_task(
+            spark, "llm-curate-corpus", base_dir=base,
+            out_dir=f"{base}/out2", history_dir=hist,
+        )
+        n_index = spark.read.parquet(f"{hist}/seen_fingerprints.parquet").count()
+        out1 = spark.read.parquet(f"{base}/out1")
+        h = hex_to_long(F.substring(row_md5(F.col("doc_id"), F.col("text")), 1, 10))
+        return (
+            out1.agg(
+                F.count(F.lit(1)).alias("n_final_run1"),
+                F.sum(h).alias("survivor_hash"),
+            )
+            .withColumn("n_final_run2", F.lit(int(m2["n_final"])).cast("long"))
+            .withColumn(
+                "n_seen_dropped_run2", F.lit(int(m2["n_seen_dropped"])).cast("long")
+            )
+            .withColumn("n_index_fps", F.lit(int(n_index)).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

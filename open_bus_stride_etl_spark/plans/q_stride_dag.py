@@ -1,0 +1,427 @@
+"""Stride enrichment-DAG invariance query (VERDICT r8 ask #2): a hard
+driver verdict for the TASK-LAYER composition of the reference's own
+pipeline — the surface that previously had only pytest coverage.
+
+The reference chains its SIRI enrichment tasks per
+/root/reference/open_bus_stride_etl/siri/dags.yaml:1-19
+(add-ride-durations @hourly, then the gtfs matchers); each task is an
+UPDATE-in-Postgres pass whose re-run over the same window CONVERGES
+(the IS NULL todo-marker contract, SURVEY.md §7.4). Here the REAL
+ported tasks (plans/stride_tasks.py: siri-add-ride-durations →
+siri-update-rides-gtfs) run TWICE over a synthetic stride lake built
+inside the query, and the emitted row pins:
+
+- the enriched ``siri_ride`` snapshot (row counts + an
+  order-insensitive content hash over every enrichment column,
+  including the marker timestamps) against an analytic oracle composed
+  from the first_last_durations (A4 guards), banded_priority_match
+  (J4/W4 tiers) and enrich_update_guarded (J8 only-if-null) contracts;
+- the convergence contract: the second run's "rows newly updated"
+  metrics must be 0 and the post-run-2 table must still hash to the
+  run-1 prediction (a drifting marker, a re-matched ride, or a
+  lost/duplicated row all fail the value hash).
+
+The lake is DERIVED deterministically from the shared ``events`` table
+(rid = event_id/20), so DuckDB re-derives identical inputs and unrolls
+the same two-stage enrichment in SQL — nothing is baked into literals
+except the fixed guard clock. The derivation plants every contract
+edge: NULL-timestamp telemetry (nulls-last), rides with no telemetry
+(stay todo after run 1 → re-processed to the same state in run 2),
+settled/unsettled/stale guard outcomes, tier-1 winners over tier-5
+decoys, rides with no route tier that fall through to the journey or
+scheduled-time strategies, and the already-processed precondition
+split (updated_duration_minutes IS NOT NULL gates the gtfs matcher).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hex_to_long, row_md5
+from ..sources import stride_lake as lake
+from ..sources.lake import load_table
+from .registry import query
+
+EPOCH = "2024-03-01 00:00:00"
+NOW_TS = "2024-03-06 00:00:00"  # fixed guard clock (epoch + 5 days)
+STRAGGLER_TS = "2024-03-05 23:00:00"  # inside the 6h settle window of NOW
+
+
+def _rides_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rid = event_id/20 for event_id % 20 == 0 — i.e. rid = 1..n_ev/20,
+    carried through a real table scan so the corpus scales with sf and
+    the oracle derives the identical set from the same parquet."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.lit(EPOCH).cast("timestamp")
+    rid = (F.col("event_id") / 20).cast("long").alias("rid")
+    src = ev.where(F.col("event_id") % 20 == 0).select(rid)
+    return src.select(
+        "rid",
+        (F.col("rid") % 10).alias("day_idx"),
+        (
+            epoch
+            + F.make_interval(
+                days=(F.col("rid") % 10).cast("int"),
+                hours=(5 + F.col("rid") % 16).cast("int"),
+                mins=((F.col("rid") * 7) % 60).cast("int"),
+            )
+        ).alias("sched"),
+    )
+
+
+def _build_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
+    """Materialize the synthetic stride lake the chained tasks run on.
+    Mod-class design (all mirrored in the oracle CTEs):
+
+    - rid % 3  == 0: todo ride (NULL marker); others pre-marked at EPOCH
+    - rid % 17 == 0: no telemetry at all (stays todo across both runs)
+    - rid % 13 == 0: extra straggler ping at NOW-1h (unsettled; stale→0
+      for day_idx <= 2)
+    - rid % 5  == 0: both same-route gtfs rides outside every tier (no
+      route match; falls through to journey/scheduled strategies)
+    - rid % 4  == 1: gtfs ride g1 carries the rearranged journey_ref key
+    - rid % 7  == 0: gtfs ride g3 (different route) at the exact
+      scheduled_start_time (strategy-3 match)
+    """
+    epoch = F.lit(EPOCH).cast("timestamp")
+    src = _rides_src(spark, sf_dir)
+
+    lake.overwrite_table(
+        src.select(
+            F.col("rid").alias("id"),
+            (1 + F.col("rid") % 50).alias("siri_route_id"),
+            F.concat(
+                F.date_format("sched", "yyyy-MM-dd"),
+                F.lit("-"),
+                (10000 + F.col("rid")).cast("string"),
+            ).alias("journey_ref"),
+            F.concat(F.lit("v"), F.col("rid").cast("string")).alias("vehicle_ref"),
+            F.col("sched").alias("scheduled_start_time"),
+            F.lit(None).cast("int").alias("duration_minutes"),
+            F.lit(None).cast("long").alias("first_vehicle_location_id"),
+            F.lit(None).cast("long").alias("last_vehicle_location_id"),
+            F.lit(None).cast("timestamp").alias("updated_first_last_vehicle_locations"),
+            F.when(F.col("rid") % 3 != 0, epoch).alias("updated_duration_minutes"),
+            F.lit(None).cast("long").alias("gtfs_ride_id"),
+            F.lit(None).cast("long").alias("route_gtfs_ride_id"),
+            F.lit(None).cast("long").alias("journey_gtfs_ride_id"),
+            F.lit(None).cast("long").alias("scheduled_time_gtfs_ride_id"),
+        ),
+        base,
+        "siri_ride",
+    )
+
+    routes = spark.range(1, 51).select(
+        F.col("id"),
+        F.concat(F.lit("op"), (F.col("id") % 10).cast("string")).alias("operator_ref"),
+        F.concat(F.lit("line"), F.col("id").cast("string")).alias("line_ref"),
+    )
+    lake.overwrite_table(routes, base, "siri_route")
+
+    lake.overwrite_table(
+        src.select(
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("k"), F.col("rid")
+        ).select(
+            (2 * F.col("rid") - 1 + F.col("k")).alias("id"),
+            F.col("rid").alias("siri_ride_id"),
+        ),
+        base,
+        "siri_ride_stop",
+    )
+
+    with_locs = src.where(F.col("rid") % 17 != 0)
+    regular = with_locs.select(
+        "rid", "sched", F.explode(F.array(*[F.lit(i) for i in range(5)])).alias("j")
+    )
+    straggler = with_locs.where(F.col("rid") % 13 == 0).select(
+        "rid", "sched", F.lit(5).alias("j")
+    )
+    lake.overwrite_table(
+        regular.unionByName(straggler).select(
+            ((F.col("rid") - 1) * 6 + F.col("j") + 1).alias("id"),
+            (2 * F.col("rid") - 1 + F.pmod(F.col("j"), F.lit(2))).alias(
+                "siri_ride_stop_id"
+            ),
+            F.when(F.col("j") == 5, F.lit(STRAGGLER_TS).cast("timestamp"))
+            .when(
+                F.col("j") != 2,
+                F.col("sched") + F.make_interval(mins=(F.col("j") * 2).cast("int")),
+            )
+            .alias("recorded_at_time"),
+        ),
+        base,
+        "siri_vehicle_location",
+    )
+
+    dates = spark.range(10).select(F.col("id").alias("d"))
+    lake.overwrite_table(
+        dates.crossJoin(spark.range(1, 51).select(F.col("id").alias("r"))).select(
+            (F.col("d") * 50 + F.col("r")).alias("id"),
+            F.date_add(F.lit("2024-03-01").cast("date"), F.col("d").cast("int")).alias(
+                "date"
+            ),
+            F.concat(F.lit("op"), (F.col("r") % 10).cast("string")).alias("operator_ref"),
+            F.concat(F.lit("line"), F.col("r").cast("string")).alias("line_ref"),
+        ),
+        base,
+        "gtfs_route",
+    )
+
+    compat = F.col("day_idx") * 50 + 1 + F.col("rid") % 50
+    g1 = src.select(
+        (3 * F.col("rid") - 2).alias("id"),
+        compat.alias("gtfs_route_id"),
+        F.when(
+            F.col("rid") % 4 == 1,
+            F.concat(
+                (10000 + F.col("rid")).cast("string"),
+                F.lit("_"),
+                F.date_format("sched", "ddMMyy"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("g1x"), F.col("rid").cast("string")))
+        .alias("journey_ref"),
+        (
+            F.col("sched")
+            + F.make_interval(
+                secs=F.when(F.col("rid") % 5 != 0, 30).otherwise(600).cast("double")
+            )
+        ).alias("start_time"),
+    )
+    g2 = src.select(
+        (3 * F.col("rid") - 1).alias("id"),
+        compat.alias("gtfs_route_id"),
+        F.concat(F.lit("g2x"), F.col("rid").cast("string")).alias("journey_ref"),
+        (
+            F.col("sched")
+            + F.make_interval(
+                secs=F.when(F.col("rid") % 5 != 0, 240).otherwise(-600).cast("double")
+            )
+        ).alias("start_time"),
+    )
+    g3 = src.select(
+        (3 * F.col("rid")).alias("id"),
+        (F.col("day_idx") * 50 + 1 + (F.col("rid") + 3) % 50).alias("gtfs_route_id"),
+        F.concat(F.lit("g3x"), F.col("rid").cast("string")).alias("journey_ref"),
+        (
+            F.col("sched")
+            + F.make_interval(
+                secs=F.when(F.col("rid") % 7 == 0, 0).otherwise(3600).cast("double")
+            )
+        ).alias("start_time"),
+    )
+    lake.overwrite_table(g1.unionByName(g2).unionByName(g3), base, "gtfs_ride")
+
+
+_NULL = "chr(0) || 'NULL' || chr(0)"
+
+
+def _sql_s(expr: str) -> str:
+    return f"COALESCE(CAST({expr} AS VARCHAR), {_NULL})"
+
+
+_SQL_STRIDE_DAG = f"""
+    WITH r0 AS (
+      SELECT CAST(event_id // 20 AS BIGINT) AS rid
+      FROM events WHERE event_id % 20 = 0
+    ),
+    rides AS (
+      SELECT rid,
+             TIMESTAMP '{EPOCH}'
+               + (rid % 10) * INTERVAL 1 DAY
+               + (5 + rid % 16) * INTERVAL 1 HOUR
+               + ((rid * 7) % 60) * INTERVAL 1 MINUTE AS sched,
+             (rid % 10) * 50 + 1 + rid % 50 AS compat_groute
+      FROM r0
+    ),
+    locs AS (
+      SELECT r.rid, (r.rid - 1) * 6 + t.j + 1 AS loc_id,
+             CASE WHEN t.j <> 2 THEN r.sched + t.j * 2 * INTERVAL 1 MINUTE END AS ts
+      FROM rides r CROSS JOIN (SELECT CAST(range AS BIGINT) AS j FROM range(0, 5)) t
+      WHERE r.rid % 17 <> 0
+      UNION ALL
+      SELECT rid, (rid - 1) * 6 + 6, TIMESTAMP '{STRAGGLER_TS}'
+      FROM rides WHERE rid % 17 <> 0 AND rid % 13 = 0
+    ),
+    -- first/last per TODO ride; NULL-ts rows ignored (A4 nulls-last)
+    fl AS (
+      SELECT rid,
+             MAX(CASE WHEN rn_f = 1 THEN loc_id END) AS first_id,
+             MAX(CASE WHEN rn_l = 1 THEN loc_id END) AS last_id,
+             MIN(ts) AS first_ts, MAX(ts) AS last_ts
+      FROM (
+        SELECT rid, loc_id, ts,
+               row_number() OVER (PARTITION BY rid ORDER BY ts ASC, loc_id ASC) AS rn_f,
+               row_number() OVER (PARTITION BY rid ORDER BY ts DESC, loc_id DESC) AS rn_l
+        FROM locs WHERE ts IS NOT NULL
+      ) GROUP BY rid
+    ),
+    -- A4 guards at the fixed clock: settled (< NOW-6h) -> minutes;
+    -- else stale (first < NOW-2d) -> 0; else NULL
+    durs AS (
+      SELECT rid, first_id, last_id,
+             CASE WHEN last_ts < TIMESTAMP '2024-03-05 18:00:00'
+                  THEN CAST(ROUND(date_diff('second', first_ts, last_ts) / 60.0) AS INT)
+                  WHEN first_ts < TIMESTAMP '2024-03-04 00:00:00' THEN 0
+             END AS duration
+      FROM fl WHERE rid % 3 = 0
+    ),
+    -- post-add state: todo rides with telemetry get values + NOW markers
+    -- (only-if-null enrich); pre-marked rides keep their EPOCH marker
+    r1 AS (
+      SELECT r.rid, r.sched, r.compat_groute,
+             d.first_id, d.last_id, d.duration,
+             CASE WHEN r.rid % 3 <> 0 THEN TIMESTAMP '{EPOCH}'
+                  WHEN d.rid IS NOT NULL THEN TIMESTAMP '{NOW_TS}'
+             END AS upd_marker,
+             CASE WHEN r.rid % 3 = 0 AND d.rid IS NOT NULL
+                  THEN TIMESTAMP '{NOW_TS}' END AS fl_marker
+      FROM rides r LEFT JOIN durs d ON d.rid = r.rid
+    ),
+    elig AS (SELECT * FROM r1 WHERE upd_marker IS NOT NULL),
+    grides AS (
+      SELECT 3 * rid - 2 AS gid, compat_groute AS groute,
+             sched + CASE WHEN rid % 5 <> 0 THEN 30 ELSE 600 END * INTERVAL 1 SECOND AS gstart,
+             CASE WHEN rid % 4 = 1
+                  THEN CAST(10000 + rid AS VARCHAR) || '_' || strftime(sched, '%d%m%y')
+                  ELSE 'g1x' || CAST(rid AS VARCHAR) END AS jref
+      FROM rides
+      UNION ALL
+      SELECT 3 * rid - 1, compat_groute,
+             sched + CASE WHEN rid % 5 <> 0 THEN 240 ELSE -600 END * INTERVAL 1 SECOND,
+             'g2x' || CAST(rid AS VARCHAR)
+      FROM rides
+      UNION ALL
+      SELECT 3 * rid, (rid % 10) * 50 + 1 + (rid + 3) % 50,
+             sched + CASE WHEN rid % 7 = 0 THEN 0 ELSE 3600 END * INTERVAL 1 SECOND,
+             'g3x' || CAST(rid AS VARCHAR)
+      FROM rides
+    ),
+    -- strategy 1: same gtfs_route, |dt| <= 5 min, tightest tier wins
+    rpairs AS (
+      SELECT e.rid, g.gid, abs(date_diff('second', g.gstart, e.sched)) AS dt
+      FROM elig e JOIN grides g ON g.groute = e.compat_groute
+      WHERE abs(date_diff('second', g.gstart, e.sched)) <= 300
+    ),
+    rbest AS (
+      SELECT rid, gid FROM (
+        SELECT rid, gid,
+               row_number() OVER (PARTITION BY rid ORDER BY
+                 CASE WHEN dt <= 60 THEN 1 WHEN dt <= 180 THEN 3 ELSE 5 END, dt, gid) AS rn
+        FROM rpairs
+      ) WHERE rn = 1
+    ),
+    -- strategy 2: rearranged journey_ref equality
+    jbest AS (
+      SELECT e.rid, MIN(g.gid) AS gid
+      FROM elig e JOIN grides g
+        ON g.jref = CAST(10000 + e.rid AS VARCHAR) || '_' || strftime(e.sched, '%d%m%y')
+      GROUP BY e.rid
+    ),
+    -- strategy 3: exact scheduled-time equality
+    sbest AS (
+      SELECT e.rid, MIN(g.gid) AS gid
+      FROM elig e JOIN grides g ON g.gstart = e.sched
+      GROUP BY e.rid
+    ),
+    final AS (
+      SELECT r.rid, r.first_id, r.last_id, r.duration, r.upd_marker, r.fl_marker,
+             rb.gid AS route_id, jb.gid AS journey_id, sb.gid AS sched_id,
+             COALESCE(rb.gid, jb.gid, sb.gid) AS gtfs_id
+      FROM r1 r
+      LEFT JOIN rbest rb ON rb.rid = r.rid
+      LEFT JOIN jbest jb ON jb.rid = r.rid
+      LEFT JOIN sbest sb ON sb.rid = r.rid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rides,
+           CAST(COUNT(upd_marker) AS BIGINT) AS n_marker_set,
+           CAST(COUNT(duration) AS BIGINT) AS n_duration_set,
+           CAST(COUNT(route_id) AS BIGINT) AS n_route_matched,
+           CAST(COUNT(gtfs_id) AS BIGINT) AS n_gtfs_matched,
+           CAST(SUM(CAST(('0x' || substr(md5(
+             {_sql_s('rid')} || '|' ||
+             {_sql_s('first_id')} || '|' ||
+             {_sql_s('last_id')} || '|' ||
+             {_sql_s('duration')} || '|' ||
+             {_sql_s('route_id')} || '|' ||
+             {_sql_s('journey_id')} || '|' ||
+             {_sql_s('sched_id')} || '|' ||
+             {_sql_s('gtfs_id')} || '|' ||
+             {_sql_s("date_diff('second', TIMESTAMP '1970-01-01 00:00:00', upd_marker)")} || '|' ||
+             {_sql_s("date_diff('second', TIMESTAMP '1970-01-01 00:00:00', fl_marker)")}
+           ), 1, 10)) AS BIGINT)) AS BIGINT) AS ride_hash,
+           CAST(0 AS BIGINT) AS upd2_duration,
+           CAST(0 AS BIGINT) AS upd2_gtfs
+    FROM final
+    """
+
+
+@query("stride_dag_convergence", _SQL_STRIDE_DAG)
+def stride_dag_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL chained stride tasks twice (add-ride-durations →
+    update-rides-gtfs, per siri/dags.yaml) on a lake derived from the
+    events table, at a fixed guard clock. Emits row counts, the
+    order-insensitive hash of the final ``siri_ride`` snapshot, and the
+    second run's newly-updated metrics (must be 0 — the convergence
+    contract). Scale shape is the tasks' own: telemetry is aggregated
+    to one row per ride before any join; gtfs matching is the binned
+    banded equi-join plus two hash joins; the lake swap is a
+    write-new-and-rename, never read-overwrite. Self-contained: the
+    temp lake is removed before returning."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from . import stride_tasks  # noqa: PLC0415,F401 - registers the tasks
+    from .tasks import run_task  # noqa: PLC0415
+
+    base = tempfile.mkdtemp(prefix="stride_dag_")
+    try:
+        _build_lake(spark, sf_dir, base)
+        window = {"min_date": "2024-03-01", "max_date": "2024-03-15"}
+        run_task(
+            spark, "siri-add-ride-durations", base_dir=base, now_ts=NOW_TS, **window
+        )
+        run_task(spark, "siri-update-rides-gtfs", base_dir=base, **window)
+        # convergence: the same window re-runs to the identical state
+        m2a = run_task(
+            spark, "siri-add-ride-durations", base_dir=base, now_ts=NOW_TS, **window
+        )
+        m2b = run_task(spark, "siri-update-rides-gtfs", base_dir=base, **window)
+
+        rides = lake.read_table(spark, base, "siri_ride")
+        h = hex_to_long(
+            F.substring(
+                row_md5(
+                    F.col("id"),
+                    F.col("first_vehicle_location_id"),
+                    F.col("last_vehicle_location_id"),
+                    F.col("duration_minutes"),
+                    F.col("route_gtfs_ride_id"),
+                    F.col("journey_gtfs_ride_id"),
+                    F.col("scheduled_time_gtfs_ride_id"),
+                    F.col("gtfs_ride_id"),
+                    F.unix_timestamp("updated_duration_minutes"),
+                    F.unix_timestamp("updated_first_last_vehicle_locations"),
+                ),
+                1,
+                10,
+            )
+        )
+        return (
+            rides.agg(
+                F.count(F.lit(1)).alias("n_rides"),
+                F.count("updated_duration_minutes").alias("n_marker_set"),
+                F.count("duration_minutes").alias("n_duration_set"),
+                F.count("route_gtfs_ride_id").alias("n_route_matched"),
+                F.count("gtfs_ride_id").alias("n_gtfs_matched"),
+                F.sum(h).alias("ride_hash"),
+            )
+            .withColumn(
+                "upd2_duration", F.lit(int(m2a["updated_duration"])).cast("long")
+            )
+            .withColumn("upd2_gtfs", F.lit(int(m2b["matched_gtfs_rides"])).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

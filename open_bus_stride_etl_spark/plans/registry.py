@@ -269,16 +269,18 @@ _DEMOTE_LAST = [
     # cosine_topk retired; r7: VERDICT r6 items 1/6/7 — 12 r4-stale
     # promotions, five d1+d5 true twins retired, semdedup twin swap,
     # mid-r7 dedup_simhash60 slot). Surviving r6/r7 demotions below.
-    "time_window_halfopen",  # d1+d2+d6; half-open time-window predicate via streaming_hourly_events' hour buckets
-    "customers_with_open_orders",  # d1+d2+d6; membership semi-join ≡ band-hit probe via streaming_dedup_lsh
-    "customers_without_orders",  # d1+d2+d6; anti-join family via corpus_clean_keep's left-anti removal
-    "distinct_set_per_day",  # d2+d6; distinct-set-per-group accumulation via term_df_top20's per-term distinct-doc counts (repointed r8: old cover demoted)
-    "left_band_join",  # d2+d6; banded interval join via banded_priority_match
-    "completeness_ratio",  # d2+d6; single-row broadcast cross-join ratio via split_leakage_check
-    "json_extract_filter",  # d2+d6; string-extraction predicate via pii_redaction_stats
-    "rollup_revenue",  # d2+d6; grouped money aggregate via pricing_summary
-    "semdedup_pairs",  # d5+d6; fixed-k oracle-tractability twin of semdedup_scaled_pairs (VERDICT r6 item 7 swap)
-    "dedup_simhash_hamming",  # d2-d6 multi-green; 32-bit oracle-chain twin of dedup_simhash60 (repointed r8: dedup_groups_cc demoted)
+    # --- Round-9 rotation (VERDICT r8 items 1/2/6): the pre-declared
+    # debt was PAID — the ten d6-era tail rows (time_window_halfopen,
+    # customers_with_open_orders, customers_without_orders,
+    # distinct_set_per_day, left_band_join, completeness_ratio,
+    # json_extract_filter, rollup_revenue, semdedup_pairs,
+    # dedup_simhash_hamming — two refactor generations stale by r9) are
+    # back in the window for re-verification, joined by the two r9
+    # newcomers: stride_dag_convergence (the stride enrichment DAG's own
+    # end-to-end invariance verdict, VERDICT item 2) and
+    # curate_incremental_noop (the last pytest-only LLM task's
+    # incremental no-op contract, item 6). The 12 slots came from the
+    # freshest multi-greens, each with an in-window family twin:
     # --- Round-8 rotation (VERDICT r7 items 2, 3, 6): the pre-declared
     # rotation debt was PAID — the six d1+d5 demotes (null_marker_todo,
     # like_prefix, window_id_bounds, running_min, topk_recent,
@@ -329,6 +331,20 @@ _DEMOTE_LAST = [
     "text_quality",  # d1-d7 (7x); quality/lang scoring runs in-query in corpus_clean_keep
     "kmeans_assign",  # d3-d7 (5x); the same kmeans_fit trainer runs inside ann_ivf_persisted_topk (promoted r8)
     "sort_nulls_last_topk",  # d1+d2+d6+d7; order-by+limit top-k via topk_recent (promoted r8); NULLS LAST keys also pinned by first_last_durations' nulls-last min_by/max_by
+    # --- r9 demotions (the 12 freshest multi-greens; slots for the ten
+    # d6-era re-promotions + the two newcomers):
+    "null_marker_todo",  # d1+d5+d8 (3x); IS NULL marker ≡ outer-join null side via ledger_missing_dates
+    "like_prefix",  # d1+d5+d8 (3x); string-predicate filter via pii_redaction_stats; kept registered as the sole LIKE carrier (SURVEY P5)
+    "window_id_bounds",  # d1+d5+d8 (3x); min/max extremes via first_last_durations
+    "running_min",  # d1+d5+d8 (3x); window frame agg via quantile_quality_keep's cumulative histogram
+    "first_last_by_seq",  # d1+d5+d8 (3x); first/last-by-sequence via first_last_durations
+    "streaming_dedup_exact",  # d5+d8; exact-fingerprint streaming dedup ⊂ streaming_dedup_lsh's band probe
+    "streaming_upsert_snapshot",  # d5+d8; keyed latest-state stream via streaming_user_first_last
+    "dedup_incremental",  # d5+d8; seen-index anti/probe join via streaming_dedup_lsh (and the curate task's in-query anti-join, curate_incremental_noop)
+    "dedup_exact_groups",  # d3+d8; exact-fingerprint components built in-query by split_leakage_check
+    "stratified_sample_counts",  # d3+d8; md5-bucket membership via balanced_corpus (repointed r9: old cover reservoir_per_user is tail)
+    "lang_id",  # d3+d8; lang-id gate runs in-query in corpus_clean_keep
+    "doc_fingerprints",  # d3+d8; fingerprint scan runs in-query in corpus_clean_keep (and curate_incremental_noop's seen index)
 ]
 
 # Auditable coverage ledger (VERDICT r3 item 8): every demoted query
@@ -341,17 +357,6 @@ _DEMOTE_LAST = [
 # some past round (the rotation policy above).
 COVERED_BY = {
     # (rows for promoted/retired queries are removed with each rotation)
-    # r7 demotions:
-    "time_window_halfopen": "streaming_hourly_events",  # half-open time-window predicate (hour bucketing is half-open by construction)
-    "customers_with_open_orders": "streaming_dedup_lsh",  # membership semi-join ≡ index band-hit probe
-    "customers_without_orders": "corpus_clean_keep",  # anti-join family (left-anti removal of flagged docs)
-    "distinct_set_per_day": "term_df_top20",  # distinct-set-per-group accumulation (distinct docs per term; repointed r8)
-    "left_band_join": "banded_priority_match",  # banded interval join family
-    "completeness_ratio": "split_leakage_check",  # single-row broadcast cross-join ratio (the repo's two crossJoins)
-    "json_extract_filter": "pii_redaction_stats",  # string-extraction predicate family
-    "rollup_revenue": "pricing_summary",  # grouped money aggregate family
-    "semdedup_pairs": "semdedup_scaled_pairs",  # fixed-k oracle-tractability twin of the production scaled-k rule
-    "dedup_simhash_hamming": "dedup_simhash60",  # banded simhash hamming family at production width (repointed r8)
     # r8 demotions:
     "dedup_groups_cc": "dedup_groups_cc60",  # same CC operator + banded candidate equi-join; production band width in-window
     "geodesic_agreement": "nearest_point_per_user",  # haversine geo-distance family
@@ -363,16 +368,29 @@ COVERED_BY = {
     "streaming_hourly_distinct_users": "streaming_hourly_events",  # hourly event-time windowed aggregation family
     "group_day_type": "pricing_summary",  # multi-key grouped aggregation family
     "computed_key_join": "code_date_dim_join",  # derived-key equi-join family
-    "moving_avg_frame": "running_min",  # window frame aggregate family
+    "moving_avg_frame": "quantile_quality_keep",  # window frame aggregate family (repointed r9: running_min demoted)
     "dedup_embedding_cosine": "semdedup_scaled_pairs",  # embedding near-dup (sign-LSH + blocked matmul) family
     "ann_ivf_topk": "ann_ivf_persisted_topk",  # IVF train+probe ⊂ the persisted index lifecycle
     # r8 stale-sweep demotions (reverse twin swaps with the six promotions):
     "content_hash": "compact_roundtrip_hash",  # F14 order-insensitive content hash computed in-query there (same row_md5/hex_to_long kernel)
-    "reservoir_per_user": "stratified_sample_counts",  # md5-bucket membership core (hash_bucket_bp streams)
+    "reservoir_per_user": "balanced_corpus",  # md5-bucket membership core (repointed r9: stratified_sample_counts demoted)
     "packed_batches": "doc_chunks",  # chunking/packing family (posexplode map-local windows)
     "text_quality": "corpus_clean_keep",  # quality_score_bp + lang_id gate the in-window curation capstone
     "kmeans_assign": "ann_ivf_persisted_topk",  # kmeans_fit trains the persisted IVF index in-query
     "sort_nulls_last_topk": "topk_recent",  # order-by + limit top-k; NULLS LAST ordering keys also in first_last_durations
+    # r9 demotions:
+    "null_marker_todo": "ledger_missing_dates",  # IS NULL marker predicate ≡ outer-join null-side detection
+    "like_prefix": "pii_redaction_stats",  # string-predicate filter family (sole LIKE carrier, SURVEY P5)
+    "window_id_bounds": "first_last_durations",  # per-group min/max extremes
+    "running_min": "quantile_quality_keep",  # window frame aggregate (cumulative histogram core)
+    "first_last_by_seq": "first_last_durations",  # first/last endpoint family
+    "streaming_dedup_exact": "streaming_dedup_lsh",  # streaming dedup-vs-index family (near-dup superset in-window)
+    "streaming_upsert_snapshot": "streaming_user_first_last",  # keyed latest-state streaming aggregate
+    "dedup_incremental": "streaming_dedup_lsh",  # seen-index probe join (exact anti-join ⊂ band-bucket probe; also run by curate_incremental_noop's task)
+    "dedup_exact_groups": "split_leakage_check",  # exact-fingerprint components (fingerprint -> min-doc_id groupBy) built in-query there
+    "stratified_sample_counts": "balanced_corpus",  # salted md5-bucket membership streams
+    "lang_id": "corpus_clean_keep",  # lang-id gate runs in-query in the curation capstone
+    "doc_fingerprints": "corpus_clean_keep",  # fingerprint scan runs in-query there (and feeds curate_incremental_noop's seen index)
 }
 
 
@@ -399,3 +417,4 @@ def _load_all() -> None:
     from . import q_semantics  # noqa: F401
     from . import q_llm  # noqa: F401
     from . import q_streaming  # noqa: F401
+    from . import q_stride_dag  # noqa: F401

@@ -52,7 +52,17 @@ def _write_and_count(
 
 
 @task("siri-add-ride-durations", cadence="hourly", num_days=4)
-def siri_add_ride_durations(spark: SparkSession, base_dir: str, min_date: str, max_date: str):
+def siri_add_ride_durations(
+    spark: SparkSession,
+    base_dir: str,
+    min_date: str,
+    max_date: str,
+    now_ts: str | None = None,
+):
+    """``now_ts`` pins the settle/stale guard clock for deterministic
+    backfills (and the stride_dag_convergence invariance oracle); the
+    scheduler default is wall-clock, like the reference's
+    datetime.datetime.now (siri/add_ride_durations.py:68-84)."""
     rides = lake.read_table(spark, base_dir, "siri_ride")
     n_before = _nonnull(rides, "updated_duration_minutes")
     out = stride.add_ride_durations(
@@ -61,7 +71,7 @@ def siri_add_ride_durations(spark: SparkSession, base_dir: str, min_date: str, m
         lake.read_table(spark, base_dir, "siri_vehicle_location"),
         min_date,
         max_date,
-        now=F.current_timestamp(),
+        now=F.lit(now_ts).cast("timestamp") if now_ts else F.current_timestamp(),
     )
     n, n_updated = _write_and_count(
         spark, out, base_dir, "siri_ride", "updated_duration_minutes", n_before
