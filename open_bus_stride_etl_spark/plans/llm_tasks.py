@@ -492,13 +492,17 @@ def llm_stream_ingest_dedup(
     totals = {"n_ingested": 0, "n_novel": 0, "n_batches": 0}
 
     def _admit(batch: DataFrame, batch_id: int) -> None:
-        # A micro-batch often arrives as ONE source file = one input
-        # partition (maxFilesPerTrigger=1 is exactly one), and the
-        # shingle/MinHash map work happens BEFORE any exchange — left
-        # alone it runs single-threaded over the whole batch (measured
-        # r8: 35 s/batch at 250k docs vs ~7 s spread). Re-spread to the
-        # session's parallelism before materializing; hash-membership
-        # semantics are partitioning-invariant.
+        # Ingest batches are typically crawler-staged coalesced files
+        # whose ~128MB parquet row groups gate the batch scan to ~1
+        # WORKING task per file (the batch plan shows 32 split
+        # partitions, but parquet parallelism is row-group-bound — r9
+        # audit), and the shingle/MinHash map work happens BEFORE any
+        # exchange — left alone it runs single-threaded over the whole
+        # batch (measured r8: 35 s/batch at 250k docs vs ~7 s spread).
+        # Re-spread to the session's parallelism before materializing;
+        # hash-membership semantics are partitioning-invariant. Sources
+        # with small row groups don't need this (streaming_dedup_lsh's
+        # respread A/B at sf30 was sign-mixed noise — left alone).
         batch = batch.repartition(
             batch.sparkSession.sparkContext.defaultParallelism
         ).localCheckpoint(eager=True)  # two consumers below

@@ -792,6 +792,12 @@ def streaming_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw, src_dir = _table_stream(spark, sf_dir, "documents")
         stream = raw.where(F.col("doc_id") % 5 != 0)
 
+        # BENCHNOTES r8 #1 / r9 audit: no batch respread here — the batch
+        # scan already parallelizes (the staged source file carries the
+        # testdata's small row groups; measured 32 working partitions, and
+        # a respread A/B at sf30 was sign-mixed noise). The r8 rule's real
+        # trigger is ROW GROUPS per batch file: a coalesce(1)-staged file
+        # has ~128MB groups = 1 working task (llm_tasks._admit's case).
         def _score(batch: DataFrame) -> DataFrame:
             buckets = dd.band_buckets(dd.minhash_signatures(batch))
             return (
