@@ -6,18 +6,23 @@ The reference chains its SIRI enrichment tasks per
 /root/reference/open_bus_stride_etl/siri/dags.yaml:1-19
 (add-ride-durations @hourly, then the gtfs matchers); each task is an
 UPDATE-in-Postgres pass whose re-run over the same window CONVERGES
-(the IS NULL todo-marker contract, SURVEY.md §7.4). Here the REAL
-ported tasks (plans/stride_tasks.py: siri-add-ride-durations →
-siri-update-rides-gtfs) run TWICE over a synthetic stride lake built
-inside the query, and the emitted row pins:
+(the IS NULL todo-marker contract, SURVEY.md §7.4). Here the FULL
+ported DAG (plans/stride_tasks.py: siri-add-ride-durations →
+siri-update-rides-gtfs → siri-update-ride-stops-gtfs →
+siri-update-ride-stops-vehicle-locations) runs TWICE over a synthetic
+stride lake built inside the query, and the emitted row pins:
 
 - the enriched ``siri_ride`` snapshot (row counts + an
   order-insensitive content hash over every enrichment column,
   including the marker timestamps) against an analytic oracle composed
   from the first_last_durations (A4 guards), banded_priority_match
   (J4/W4 tiers) and enrich_update_guarded (J8 only-if-null) contracts;
-- the convergence contract: the second run's "rows newly updated"
-  metrics must be 0 and the post-run-2 table must still hash to the
+- the enriched ``siri_ride_stop`` snapshot (gtfs-stop code+date match
+  per code_date_dim_join's contract; nearest-vehicle-location per
+  nearest_point_per_user's argmin-haversine contract, NULL-coordinate
+  rows dropped);
+- the convergence contract: every second-run "rows newly updated"
+  metric must be 0 and the post-run-2 tables must still hash to the
   run-1 prediction (a drifting marker, a re-matched ride, or a
   lost/duplicated row all fail the value hash).
 
@@ -38,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.geo import haversine_sql
 from ..functions.hashing import hex_to_long, row_md5
 from ..sources import stride_lake as lake
 from ..sources.lake import load_table
@@ -75,7 +81,8 @@ def _build_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
     Mod-class design (all mirrored in the oracle CTEs):
 
     - rid % 3  == 0: todo ride (NULL marker); others pre-marked at EPOCH
-    - rid % 17 == 0: no telemetry at all (stays todo across both runs)
+    - rid % 17 == 0: no telemetry at all (stays todo across both runs;
+      its matched ride stops also never get a nearest location)
     - rid % 13 == 0: extra straggler ping at NOW-1h (unsettled; stale→0
       for day_idx <= 2)
     - rid % 5  == 0: both same-route gtfs rides outside every tier (no
@@ -83,6 +90,10 @@ def _build_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
     - rid % 4  == 1: gtfs ride g1 carries the rearranged journey_ref key
     - rid % 7  == 0: gtfs ride g3 (different route) at the exact
       scheduled_start_time (strategy-3 match)
+    - stop sid > 35: siri stops with no GTFS counterpart (their ride
+      stops stay unmatched and re-converge to NULL on run 2)
+    - rid % 11 == 0: the j==1 telemetry ping has a NULL latitude (the
+      reference's dropped-row filter in the nearest-location pass)
     """
     epoch = F.lit(EPOCH).cast("timestamp")
     src = _rides_src(spark, sf_dir)
@@ -125,9 +136,21 @@ def _build_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
         ).select(
             (2 * F.col("rid") - 1 + F.col("k")).alias("id"),
             F.col("rid").alias("siri_ride_id"),
+            (1 + (F.col("rid") + F.col("k")) % 40).alias("siri_stop_id"),
+            F.col("k").cast("int").alias("order"),
+            F.lit(None).cast("long").alias("gtfs_stop_id"),
+            F.lit(None).cast("long").alias("nearest_siri_vehicle_location_id"),
         ),
         base,
         "siri_ride_stop",
+    )
+
+    lake.overwrite_table(
+        spark.range(1, 41).select(
+            F.col("id"), F.format_string("S%03d", F.col("id")).alias("code")
+        ),
+        base,
+        "siri_stop",
     )
 
     with_locs = src.where(F.col("rid") % 17 != 0)
@@ -149,9 +172,33 @@ def _build_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
                 F.col("sched") + F.make_interval(mins=(F.col("j") * 2).cast("int")),
             )
             .alias("recorded_at_time"),
+            F.when(
+                ~((F.col("rid") % 11 == 0) & (F.col("j") == 1)),
+                32.0 + ((F.col("rid") + F.col("j")) % 100) / 100.0,
+            ).alias("lat"),
+            (34.7 + ((F.col("rid") + F.col("j")) % 50) / 100.0).alias("lon"),
         ),
         base,
         "siri_vehicle_location",
+    )
+
+    # GTFS stops cover only sid <= 35 (codes S036..S040 stay unmatched);
+    # id = day*40 + sid keeps the arithmetic uniform with a gap.
+    lake.overwrite_table(
+        spark.range(10)
+        .select(F.col("id").alias("d"))
+        .crossJoin(spark.range(1, 36).select(F.col("id").alias("sid")))
+        .select(
+            (F.col("d") * 40 + F.col("sid")).alias("id"),
+            F.date_add(F.lit("2024-03-01").cast("date"), F.col("d").cast("int")).alias(
+                "date"
+            ),
+            F.format_string("S%03d", F.col("sid")).alias("code"),
+            (32.0 + F.col("sid") / 100.0).alias("lat"),
+            (34.7 + (F.col("sid") * 3 % 90) / 100.0).alias("lon"),
+        ),
+        base,
+        "gtfs_stop",
     )
 
     dates = spark.range(10).select(F.col("id").alias("d"))
@@ -237,12 +284,13 @@ _SQL_STRIDE_DAG = f"""
     ),
     locs AS (
       SELECT r.rid, (r.rid - 1) * 6 + t.j + 1 AS loc_id,
-             CASE WHEN t.j <> 2 THEN r.sched + t.j * 2 * INTERVAL 1 MINUTE END AS ts
-      FROM rides r CROSS JOIN (SELECT CAST(range AS BIGINT) AS j FROM range(0, 5)) t
-      WHERE r.rid % 17 <> 0
-      UNION ALL
-      SELECT rid, (rid - 1) * 6 + 6, TIMESTAMP '{STRAGGLER_TS}'
-      FROM rides WHERE rid % 17 <> 0 AND rid % 13 = 0
+             CASE WHEN t.j = 5 THEN TIMESTAMP '{STRAGGLER_TS}'
+                  WHEN t.j <> 2 THEN r.sched + t.j * 2 * INTERVAL 1 MINUTE END AS ts,
+             CASE WHEN NOT (r.rid % 11 = 0 AND t.j = 1)
+                  THEN 32.0 + ((r.rid + t.j) % 100) / 100.0 END AS lat,
+             34.7 + ((r.rid + t.j) % 50) / 100.0 AS lon
+      FROM rides r CROSS JOIN (SELECT CAST(range AS BIGINT) AS j FROM range(0, 6)) t
+      WHERE r.rid % 17 <> 0 AND (t.j < 5 OR r.rid % 13 = 0)
     ),
     -- first/last per TODO ride; NULL-ts rows ignored (A4 nulls-last)
     fl AS (
@@ -333,40 +381,96 @@ _SQL_STRIDE_DAG = f"""
       LEFT JOIN rbest rb ON rb.rid = r.rid
       LEFT JOIN jbest jb ON jb.rid = r.rid
       LEFT JOIN sbest sb ON sb.rid = r.rid
+    ),
+    -- stage 3 (update-ride-stops-gtfs): code+date dim match; GTFS stops
+    -- exist only for sid <= 35, id = day*40 + sid
+    rstops AS (
+      SELECT 2 * rid - 1 + t.k AS rs_id, rid, t.k AS k, 1 + (rid + t.k) % 40 AS sid
+      FROM rides CROSS JOIN (SELECT CAST(range AS BIGINT) AS k FROM range(0, 2)) t
+    ),
+    smatch AS (
+      SELECT rs.rs_id, rs.rid, rs.sid, (rs.rid % 10) * 40 + rs.sid AS g_stop
+      FROM rstops rs JOIN elig e ON e.rid = rs.rid
+      WHERE rs.sid <= 35
+    ),
+    -- stage 4 (update-ride-stops-vehicle-locations): argmin haversine
+    -- over the ride's non-NULL-coordinate pings, tie by location id
+    ncand AS (
+      SELECT s.rs_id, l.loc_id,
+             {haversine_sql('l.lat', 'l.lon', '(32.0 + s.sid / 100.0)', '(34.7 + (s.sid * 3 % 90) / 100.0)')} AS dist
+      FROM smatch s JOIN locs l ON l.rid = s.rid
+      WHERE l.lat IS NOT NULL
+    ),
+    nbest AS (
+      SELECT rs_id, loc_id FROM (
+        SELECT rs_id, loc_id,
+               row_number() OVER (PARTITION BY rs_id ORDER BY dist, loc_id) AS rn
+        FROM ncand) WHERE rn = 1
+    ),
+    rsfinal AS (
+      SELECT rs.rs_id, rs.rid, rs.k, rs.sid, s.g_stop, nb.loc_id AS nearest_id
+      FROM rstops rs
+      LEFT JOIN smatch s ON s.rs_id = rs.rs_id
+      LEFT JOIN nbest nb ON nb.rs_id = rs.rs_id
     )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_rides,
-           CAST(COUNT(upd_marker) AS BIGINT) AS n_marker_set,
-           CAST(COUNT(duration) AS BIGINT) AS n_duration_set,
-           CAST(COUNT(route_id) AS BIGINT) AS n_route_matched,
-           CAST(COUNT(gtfs_id) AS BIGINT) AS n_gtfs_matched,
-           CAST(SUM(CAST(('0x' || substr(md5(
-             {_sql_s('rid')} || '|' ||
-             {_sql_s('first_id')} || '|' ||
-             {_sql_s('last_id')} || '|' ||
-             {_sql_s('duration')} || '|' ||
-             {_sql_s('route_id')} || '|' ||
-             {_sql_s('journey_id')} || '|' ||
-             {_sql_s('sched_id')} || '|' ||
-             {_sql_s('gtfs_id')} || '|' ||
-             {_sql_s("date_diff('second', TIMESTAMP '1970-01-01 00:00:00', upd_marker)")} || '|' ||
-             {_sql_s("date_diff('second', TIMESTAMP '1970-01-01 00:00:00', fl_marker)")}
-           ), 1, 10)) AS BIGINT)) AS BIGINT) AS ride_hash,
-           CAST(0 AS BIGINT) AS upd2_duration,
-           CAST(0 AS BIGINT) AS upd2_gtfs
-    FROM final
+    SELECT r.*, s.*
+    FROM (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rides,
+             CAST(COUNT(upd_marker) AS BIGINT) AS n_marker_set,
+             CAST(COUNT(duration) AS BIGINT) AS n_duration_set,
+             CAST(COUNT(route_id) AS BIGINT) AS n_route_matched,
+             CAST(COUNT(gtfs_id) AS BIGINT) AS n_gtfs_matched,
+             CAST(SUM(CAST(('0x' || substr(md5(
+               {_sql_s('rid')} || '|' ||
+               {_sql_s('first_id')} || '|' ||
+               {_sql_s('last_id')} || '|' ||
+               {_sql_s('duration')} || '|' ||
+               {_sql_s('route_id')} || '|' ||
+               {_sql_s('journey_id')} || '|' ||
+               {_sql_s('sched_id')} || '|' ||
+               {_sql_s('gtfs_id')} || '|' ||
+               {_sql_s("date_diff('second', TIMESTAMP '1970-01-01 00:00:00', upd_marker)")} || '|' ||
+               {_sql_s("date_diff('second', TIMESTAMP '1970-01-01 00:00:00', fl_marker)")}
+             ), 1, 10)) AS BIGINT)) AS BIGINT) AS ride_hash,
+             CAST(0 AS BIGINT) AS upd2_duration,
+             CAST(0 AS BIGINT) AS upd2_gtfs
+      FROM final
+    ) r CROSS JOIN (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_ride_stops,
+             CAST(COUNT(g_stop) AS BIGINT) AS n_stops_matched,
+             CAST(COUNT(nearest_id) AS BIGINT) AS n_nearest_set,
+             CAST(SUM(CAST(('0x' || substr(md5(
+               {_sql_s('rs_id')} || '|' ||
+               {_sql_s('rid')} || '|' ||
+               {_sql_s('sid')} || '|' ||
+               {_sql_s('k')} || '|' ||
+               {_sql_s('g_stop')} || '|' ||
+               {_sql_s('nearest_id')}
+             ), 1, 10)) AS BIGINT)) AS BIGINT) AS stop_hash,
+             CAST(0 AS BIGINT) AS upd2_stops,
+             CAST(0 AS BIGINT) AS upd2_nearest
+      FROM rsfinal
+    ) s
     """
 
 
 @query("stride_dag_convergence", _SQL_STRIDE_DAG)
 def stride_dag_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Runs the REAL chained stride tasks twice (add-ride-durations →
-    update-rides-gtfs, per siri/dags.yaml) on a lake derived from the
-    events table, at a fixed guard clock. Emits row counts, the
-    order-insensitive hash of the final ``siri_ride`` snapshot, and the
-    second run's newly-updated metrics (must be 0 — the convergence
-    contract). Scale shape is the tasks' own: telemetry is aggregated
-    to one row per ride before any join; gtfs matching is the binned
-    banded equi-join plus two hash joins; the lake swap is a
+    """Runs the reference's FULL siri enrichment DAG twice — the REAL
+    chained tasks add-ride-durations → update-rides-gtfs →
+    update-ride-stops-gtfs → update-ride-stops-vehicle-locations, per
+    siri/dags.yaml — on a lake derived from the events table, at a
+    fixed guard clock. Emits row counts, order-insensitive hashes of
+    BOTH enriched snapshots (``siri_ride`` incl. the marker timestamps,
+    and ``siri_ride_stop`` incl. the gtfs-stop match and the nearest
+    vehicle location), and every second-run newly-updated metric (all
+    must be 0 — the convergence contract; still-todo rows such as
+    no-telemetry rides and unmatched stop codes must recompute to the
+    same NULLs). Scale shape is the tasks' own: telemetry is
+    aggregated to one row per ride before any join; gtfs matching is
+    the binned banded equi-join plus two hash joins; the stop match is
+    a broadcast code+date dim join; the nearest pass is one argmin
+    aggregation over ride-keyed candidates; each lake swap is a
     write-new-and-rename, never read-overwrite. Self-contained: the
     temp lake is removed before returning."""
     import shutil  # noqa: PLC0415
@@ -379,15 +483,30 @@ def stride_dag_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         _build_lake(spark, sf_dir, base)
         window = {"min_date": "2024-03-01", "max_date": "2024-03-15"}
-        run_task(
-            spark, "siri-add-ride-durations", base_dir=base, now_ts=NOW_TS, **window
-        )
-        run_task(spark, "siri-update-rides-gtfs", base_dir=base, **window)
+
+        def _chain() -> dict[str, int]:
+            m_a = run_task(
+                spark, "siri-add-ride-durations", base_dir=base, now_ts=NOW_TS,
+                **window,
+            )
+            m_b = run_task(spark, "siri-update-rides-gtfs", base_dir=base, **window)
+            m_c = run_task(
+                spark, "siri-update-ride-stops-gtfs", base_dir=base, **window
+            )
+            m_d = run_task(
+                spark, "siri-update-ride-stops-vehicle-locations", base_dir=base,
+                **window,
+            )
+            return {
+                "upd2_duration": int(m_a["updated_duration"]),
+                "upd2_gtfs": int(m_b["matched_gtfs_rides"]),
+                "upd2_stops": int(m_c["matched_gtfs_stops"]),
+                "upd2_nearest": int(m_d["matched_nearest_locations"]),
+            }
+
+        _chain()
         # convergence: the same window re-runs to the identical state
-        m2a = run_task(
-            spark, "siri-add-ride-durations", base_dir=base, now_ts=NOW_TS, **window
-        )
-        m2b = run_task(spark, "siri-update-rides-gtfs", base_dir=base, **window)
+        m2 = _chain()
 
         rides = lake.read_table(spark, base, "siri_ride")
         h = hex_to_long(
@@ -408,20 +527,38 @@ def stride_dag_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 10,
             )
         )
-        return (
-            rides.agg(
-                F.count(F.lit(1)).alias("n_rides"),
-                F.count("updated_duration_minutes").alias("n_marker_set"),
-                F.count("duration_minutes").alias("n_duration_set"),
-                F.count("route_gtfs_ride_id").alias("n_route_matched"),
-                F.count("gtfs_ride_id").alias("n_gtfs_matched"),
-                F.sum(h).alias("ride_hash"),
-            )
-            .withColumn(
-                "upd2_duration", F.lit(int(m2a["updated_duration"])).cast("long")
-            )
-            .withColumn("upd2_gtfs", F.lit(int(m2b["matched_gtfs_rides"])).cast("long"))
-            .localCheckpoint(eager=True)
+        ride_agg = rides.agg(
+            F.count(F.lit(1)).alias("n_rides"),
+            F.count("updated_duration_minutes").alias("n_marker_set"),
+            F.count("duration_minutes").alias("n_duration_set"),
+            F.count("route_gtfs_ride_id").alias("n_route_matched"),
+            F.count("gtfs_ride_id").alias("n_gtfs_matched"),
+            F.sum(h).alias("ride_hash"),
         )
+        rstops = lake.read_table(spark, base, "siri_ride_stop")
+        h2 = hex_to_long(
+            F.substring(
+                row_md5(
+                    F.col("id"),
+                    F.col("siri_ride_id"),
+                    F.col("siri_stop_id"),
+                    F.col("order"),
+                    F.col("gtfs_stop_id"),
+                    F.col("nearest_siri_vehicle_location_id"),
+                ),
+                1,
+                10,
+            )
+        )
+        stop_agg = rstops.agg(
+            F.count(F.lit(1)).alias("n_ride_stops"),
+            F.count("gtfs_stop_id").alias("n_stops_matched"),
+            F.count("nearest_siri_vehicle_location_id").alias("n_nearest_set"),
+            F.sum(h2).alias("stop_hash"),
+        )
+        out = ride_agg.crossJoin(stop_agg)  # two single-row aggregates
+        for name, val in m2.items():
+            out = out.withColumn(name, F.lit(val).cast("long"))
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
