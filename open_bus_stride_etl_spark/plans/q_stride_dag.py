@@ -562,3 +562,256 @@ def stride_dag_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Packager-backfill invariance: the reference's flagship OUTPUT artifact
+# (the hourly CSV datapackages, packagers/siri.py) gets a hard driver
+# verdict for the publish contract end to end.
+# ---------------------------------------------------------------------------
+
+
+def _build_packager_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
+    """Minimal flat-export lake derived from events (rid = event_id/50).
+    Hours are CLAMPED to 48 (rid % 48) so package count stays bounded
+    while rows-per-hour grow with sf — the backfill's one-job shape.
+    Planted edges: NULL recorded_at_time pings (excluded by the window
+    predicate), NULL duration_minutes, ride stops with no GTFS match
+    (left-join NULL columns in the export). All column derivations are
+    mirrored in the oracle; doubles/timestamps round-trip the CSV and
+    hash identically across engines (shortest-roundtrip rendering in
+    both — verified r9)."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.lit(EPOCH).cast("timestamp")
+    rid = (F.col("event_id") / 50).cast("long").alias("rid")
+    src = ev.where(F.col("event_id") % 50 == 0).select(rid)
+    rides = src.select(
+        "rid",
+        (epoch + F.make_interval(hours=(F.col("rid") % 48).cast("int"))).alias("sched"),
+    )
+
+    lake.overwrite_table(
+        rides.select(
+            F.col("rid").alias("id"),
+            (1 + F.col("rid") % 20).alias("siri_route_id"),
+            F.concat(F.lit("j"), F.col("rid").cast("string")).alias("journey_ref"),
+            F.concat(F.lit("v"), F.col("rid").cast("string")).alias("vehicle_ref"),
+            F.col("sched").alias("scheduled_start_time"),
+            F.when(F.col("rid") % 4 != 0, F.col("rid") % 90)
+            .cast("int")
+            .alias("duration_minutes"),
+        ),
+        base,
+        "siri_ride",
+    )
+    lake.overwrite_table(
+        spark.range(1, 21).select(
+            F.col("id"),
+            F.concat(F.lit("op"), (F.col("id") % 5).cast("string")).alias("operator_ref"),
+            F.concat(F.lit("line"), F.col("id").cast("string")).alias("line_ref"),
+        ),
+        base,
+        "siri_route",
+    )
+    lake.overwrite_table(
+        spark.range(1, 31).select(
+            F.col("id"), F.concat(F.lit("S"), F.col("id").cast("string")).alias("code")
+        ),
+        base,
+        "siri_stop",
+    )
+    lake.overwrite_table(
+        rides.select(
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("k"), F.col("rid")
+        ).select(
+            (2 * F.col("rid") - 1 + F.col("k")).alias("id"),
+            F.col("rid").alias("siri_ride_id"),
+            (1 + (F.col("rid") + F.col("k")) % 30).alias("siri_stop_id"),
+            F.col("k").cast("int").alias("order"),
+            F.when((F.col("rid") + F.col("k")) % 6 != 0, 100 + (F.col("rid") + F.col("k")) % 30)
+            .alias("gtfs_stop_id"),
+        ),
+        base,
+        "siri_ride_stop",
+    )
+    lake.overwrite_table(
+        spark.range(0, 30).select(
+            (100 + F.col("id")).alias("id"),
+            (32.0 + F.col("id") / 100.0).alias("lat"),
+            (34.0 + F.col("id") / 100.0).alias("lon"),
+            F.concat(F.lit("city"), (F.col("id") % 7).cast("string")).alias("city"),
+            F.concat(F.lit("stop "), F.col("id").cast("string")).alias("name"),
+        ),
+        base,
+        "gtfs_stop",
+    )
+    lake.overwrite_table(
+        rides.select(
+            "rid", "sched", F.explode(F.array(*[F.lit(i) for i in range(3)])).alias("j")
+        ).select(
+            ((F.col("rid") - 1) * 3 + F.col("j") + 1).alias("id"),
+            (2 * F.col("rid") - 1 + F.pmod(F.col("j"), F.lit(2))).alias(
+                "siri_ride_stop_id"
+            ),
+            F.lit(1).cast("long").alias("siri_snapshot_id"),
+            F.when(
+                ~((F.col("j") == 2) & (F.col("rid") % 9 == 0)),
+                F.col("sched") + F.make_interval(mins=(F.col("j") * 25).cast("int")),
+            ).alias("recorded_at_time"),
+            (32.0 + ((F.col("rid") + F.col("j")) % 80) / 100.0).alias("lat"),
+            (34.0 + ((F.col("rid") * 3 + F.col("j")) % 80) / 100.0).alias("lon"),
+            (F.col("j") * 17 % 360).cast("int").alias("bearing"),
+            (F.col("j") * 13 % 90).cast("int").alias("velocity"),
+            (F.col("j") * 500).cast("int").alias("distance_from_journey_start"),
+        ),
+        base,
+        "siri_vehicle_location",
+    )
+
+
+_HASH_COLS_SQL = " || '|' || ".join(
+    _sql_s(c)
+    for c in (
+        "loc_id", "ts", "lat", "lon", "bearing", "velocity", "dist",
+        "rs_id", "k", "rid", "jref", "vref", "sched", "dur",
+        "op", "line", "scode", "glat", "glon", "gcity", "gname",
+    )
+)
+
+_SQL_PACKAGE_BACKFILL = f"""
+    WITH r0 AS (
+      SELECT CAST(event_id // 50 AS BIGINT) AS rid
+      FROM events WHERE event_id % 50 = 0
+    ),
+    rides AS (
+      SELECT rid,
+             TIMESTAMP '{EPOCH}' + (rid % 48) * INTERVAL 1 HOUR AS sched,
+             1 + rid % 20 AS route_id,
+             CASE WHEN rid % 4 <> 0 THEN CAST(rid % 90 AS INT) END AS dur
+      FROM r0
+    ),
+    rstops AS (
+      SELECT 2 * rid - 1 + t.k AS rs_id, rid, CAST(t.k AS INT) AS k,
+             1 + (rid + t.k) % 30 AS sid,
+             CASE WHEN (rid + t.k) % 6 <> 0 THEN 100 + (rid + t.k) % 30 END AS gsid
+      FROM rides CROSS JOIN (SELECT CAST(range AS BIGINT) AS k FROM range(0, 2)) t
+    ),
+    locs AS (
+      SELECT r.rid, (r.rid - 1) * 3 + t.j + 1 AS loc_id,
+             2 * r.rid - 1 + t.j % 2 AS rs_id,
+             CASE WHEN NOT (t.j = 2 AND r.rid % 9 = 0)
+                  THEN r.sched + t.j * 25 * INTERVAL 1 MINUTE END AS ts,
+             32.0 + ((r.rid + t.j) % 80) / 100.0 AS lat,
+             34.0 + ((r.rid * 3 + t.j) % 80) / 100.0 AS lon,
+             CAST(t.j * 17 % 360 AS INT) AS bearing,
+             CAST(t.j * 13 % 90 AS INT) AS velocity,
+             CAST(t.j * 500 AS INT) AS dist
+      FROM rides r CROSS JOIN (SELECT CAST(range AS BIGINT) AS j FROM range(0, 3)) t
+    ),
+    wide AS (
+      SELECT l.loc_id, l.ts, l.lat, l.lon, l.bearing, l.velocity, l.dist,
+             rs.rs_id, rs.k, r.rid,
+             'j' || CAST(r.rid AS VARCHAR) AS jref,
+             'v' || CAST(r.rid AS VARCHAR) AS vref,
+             r.sched, r.dur,
+             'op' || CAST(r.route_id % 5 AS VARCHAR) AS op,
+             'line' || CAST(r.route_id AS VARCHAR) AS line,
+             'S' || CAST(rs.sid AS VARCHAR) AS scode,
+             CASE WHEN rs.gsid IS NOT NULL THEN 32.0 + (rs.gsid - 100) / 100.0 END AS glat,
+             CASE WHEN rs.gsid IS NOT NULL THEN 34.0 + (rs.gsid - 100) / 100.0 END AS glon,
+             CASE WHEN rs.gsid IS NOT NULL THEN 'city' || CAST((rs.gsid - 100) % 7 AS VARCHAR) END AS gcity,
+             CASE WHEN rs.gsid IS NOT NULL THEN 'stop ' || CAST(rs.gsid - 100 AS VARCHAR) END AS gname
+      FROM locs l
+      JOIN rstops rs ON rs.rs_id = l.rs_id
+      JOIN rides r ON r.rid = rs.rid
+      WHERE l.ts IS NOT NULL
+    ),
+    h AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             CAST(('0x' || substr(md5({_HASH_COLS_SQL}), 1, 10)) AS BIGINT) AS hv
+      FROM wide
+    ),
+    ph AS (SELECT hr, SUM(hv) + COUNT(*) AS mhash, COUNT(*) AS n FROM h GROUP BY hr)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(n) AS BIGINT) AS total_rows,
+           CAST(SUM(mhash) AS BIGINT) AS package_hash_sum,
+           CAST(SUM(mhash) AS BIGINT) AS csv_hash_sum,
+           CAST(COUNT(*) AS BIGINT) AS written_run1,
+           CAST(0 AS BIGINT) AS skipped_run1,
+           CAST(0 AS BIGINT) AS written_run2,
+           CAST(COUNT(*) AS BIGINT) AS skipped_run2
+    FROM ph
+    """
+
+
+@query("package_backfill_invariance", _SQL_PACKAGE_BACKFILL)
+def package_backfill_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACKAGER-BACKFILL invariance: runs the REAL siri-packages-backfill
+    task (stride_tasks.py — the one-distributed-job catch-up path of the
+    reference's hourly packager, packagers/siri.py) twice on a synthetic
+    flat-export lake and pins, against an analytic oracle:
+
+    - the per-hour package MANIFESTS (count of hours, total rows, and
+      the sum of the manifests' order-insensitive content hashes — the
+      F14 kernel the skip-if-unchanged protocol keys on);
+    - the written CSV ARTIFACT BYTES: every hour's CSV is read back
+      with the manifest's schema contract (all-string then cast, the
+      reference's CAST_TO_STRINGS strategy) and re-hashed — a
+      lost/duplicated row, a misquoted field, or a lossy double/
+      timestamp round-trip fails ``csv_hash_sum``;
+    - the effectively-once publish contract: run 2 must skip EVERY hour
+      (manifest hash unchanged) and write nothing.
+
+    Scale shape (the task's): ONE aggregation computes every hour's
+    hash, ONE partitioned write materializes changed hours — two Spark
+    jobs for any number of hours; hours are bounded (48) while
+    rows-per-hour grow with sf. Self-contained: temp dirs removed
+    before returning."""
+    import glob  # noqa: PLC0415
+    import json  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ..sources.csv_package import manifest_fields  # noqa: PLC0415
+    from . import stride_tasks  # noqa: PLC0415,F401 - registers the task
+    from .tasks import run_task  # noqa: PLC0415
+
+    base = tempfile.mkdtemp(prefix="pkg_backfill_")
+    try:
+        _build_packager_lake(spark, sf_dir, base)
+        out = f"{base}/packages"
+        m1 = run_task(spark, "siri-packages-backfill", base_dir=base, out_dir=out)
+        m2 = run_task(spark, "siri-packages-backfill", base_dir=base, out_dir=out)
+
+        manifests = [
+            json.load(open(p)) for p in sorted(glob.glob(f"{out}/*-metadata.json"))
+        ]
+        fields = manifest_fields(manifests[0])
+        all_string = ", ".join(f"`{f['name']}` string" for f in fields)
+        typed = (
+            spark.read.option("header", True)
+            .schema(all_string)
+            .csv(f"{out}/*.csv")
+            .select(*[F.col(f["name"]).cast(f["type"]).alias(f["name"]) for f in fields])
+        )
+        hv = hex_to_long(
+            F.substring(row_md5(*[F.col(f["name"]) for f in fields]), 1, 10)
+        )
+        csv_sum = typed.agg(
+            (F.sum(hv) + F.count(F.lit(1))).alias("s")
+        ).collect()[0]["s"]
+
+        row = {
+            "n_hours": len(manifests),
+            "total_rows": sum(int(m["count_of_rows"]) for m in manifests),
+            "package_hash_sum": sum(int(m["hash"]) for m in manifests),
+            "csv_hash_sum": int(csv_sum),
+            "written_run1": int(m1["written"]),
+            "skipped_run1": int(m1["skipped"]),
+            "written_run2": int(m2["written"]),
+            "skipped_run2": int(m2["skipped"]),
+        }
+        schema = ", ".join(f"{k} long" for k in row)
+        return spark.createDataFrame([tuple(row.values())], schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

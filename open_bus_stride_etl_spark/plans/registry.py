@@ -345,6 +345,7 @@ _DEMOTE_LAST = [
     "stratified_sample_counts",  # d3+d8; md5-bucket membership via balanced_corpus (repointed r9: old cover reservoir_per_user is tail)
     "lang_id",  # d3+d8; lang-id gate runs in-query in corpus_clean_keep
     "doc_fingerprints",  # d3+d8; fingerprint scan runs in-query in corpus_clean_keep (and curate_incremental_noop's seen index)
+    "dedup_ngram_jaccard",  # d3+d8; candidate-pair Jaccard is a stage of the in-window LSH path (slot for mid-r9 package_backfill_invariance)
 ]
 
 # Auditable coverage ledger (VERDICT r3 item 8): every demoted query
@@ -391,6 +392,7 @@ COVERED_BY = {
     "stratified_sample_counts": "balanced_corpus",  # salted md5-bucket membership streams
     "lang_id": "corpus_clean_keep",  # lang-id gate runs in-query in the curation capstone
     "doc_fingerprints": "corpus_clean_keep",  # fingerprint scan runs in-query there (and feeds curate_incremental_noop's seen index)
+    "dedup_ngram_jaccard": "dedup_minhash_lsh",  # candidate-pair exact Jaccard is the re-rank stage of the LSH pipeline
 }
 
 
