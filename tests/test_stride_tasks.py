@@ -234,6 +234,31 @@ def test_siri_flat_export_window(tables):
     assert {"stop_city", "stop_name", "operator_ref", "line_ref"} <= set(out.columns)
 
 
+def test_siri_flat_export_plan_broadcasts_dims(tables):
+    """Plan canary for the packager's engine: the three dimension joins
+    (routes, stops, gtfs_stops) must carry explicit broadcast hints so
+    the hourly export never shuffles the telemetry fact seven ways at
+    scale, and nothing in the join tree may degenerate into a
+    cartesian/nested-loop product."""
+    out = stride.siri_flat_export(
+        tables["siri_vehicle_location"],
+        tables["siri_ride_stop"],
+        tables["siri_ride"],
+        tables["siri_route"],
+        tables["siri_stop"],
+        tables["gtfs_stop"],
+        "1970-01-01",
+        "9999-01-01",
+    )
+    plan = out._jdf.queryExecution().explainString(
+        out.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_publish_if_changed_idempotent(tables, tmp_path):
     df = tables["siri_stop"]
     out = str(tmp_path)
