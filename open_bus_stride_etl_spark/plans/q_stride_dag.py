@@ -76,6 +76,17 @@ def _rides_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _write_table(df, base: str, name: str) -> None:
+    """Builder-only write: the synthetic lake tables are FRESH dirs with
+    no concurrent reader, so the atomic snapshot swap and the row-count
+    re-read that lake.overwrite_table pays (one extra job per table) are
+    pure fixed cost here. The TASKS under test still go through
+    lake.overwrite_table — that swap is part of the surface being
+    verified."""
+    df.write.mode("overwrite").parquet(lake.table_path(base, name))
+
+
 def _build_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
     """Materialize the synthetic stride lake the chained tasks run on.
     Mod-class design (all mirrored in the oracle CTEs):
@@ -98,7 +109,7 @@ def _build_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
     epoch = F.lit(EPOCH).cast("timestamp")
     src = _rides_src(spark, sf_dir)
 
-    lake.overwrite_table(
+    _write_table(
         src.select(
             F.col("rid").alias("id"),
             (1 + F.col("rid") % 50).alias("siri_route_id"),
@@ -128,9 +139,9 @@ def _build_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
         F.concat(F.lit("op"), (F.col("id") % 10).cast("string")).alias("operator_ref"),
         F.concat(F.lit("line"), F.col("id").cast("string")).alias("line_ref"),
     )
-    lake.overwrite_table(routes, base, "siri_route")
+    _write_table(routes, base, "siri_route")
 
-    lake.overwrite_table(
+    _write_table(
         src.select(
             F.explode(F.array(F.lit(0), F.lit(1))).alias("k"), F.col("rid")
         ).select(
@@ -145,7 +156,7 @@ def _build_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
         "siri_ride_stop",
     )
 
-    lake.overwrite_table(
+    _write_table(
         spark.range(1, 41).select(
             F.col("id"), F.format_string("S%03d", F.col("id")).alias("code")
         ),
@@ -160,7 +171,7 @@ def _build_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
     straggler = with_locs.where(F.col("rid") % 13 == 0).select(
         "rid", "sched", F.lit(5).alias("j")
     )
-    lake.overwrite_table(
+    _write_table(
         regular.unionByName(straggler).select(
             ((F.col("rid") - 1) * 6 + F.col("j") + 1).alias("id"),
             (2 * F.col("rid") - 1 + F.pmod(F.col("j"), F.lit(2))).alias(
@@ -184,7 +195,7 @@ def _build_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
 
     # GTFS stops cover only sid <= 35 (codes S036..S040 stay unmatched);
     # id = day*40 + sid keeps the arithmetic uniform with a gap.
-    lake.overwrite_table(
+    _write_table(
         spark.range(10)
         .select(F.col("id").alias("d"))
         .crossJoin(spark.range(1, 36).select(F.col("id").alias("sid")))
@@ -202,7 +213,7 @@ def _build_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
     )
 
     dates = spark.range(10).select(F.col("id").alias("d"))
-    lake.overwrite_table(
+    _write_table(
         dates.crossJoin(spark.range(1, 51).select(F.col("id").alias("r"))).select(
             (F.col("d") * 50 + F.col("r")).alias("id"),
             F.date_add(F.lit("2024-03-01").cast("date"), F.col("d").cast("int")).alias(
@@ -258,7 +269,7 @@ def _build_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
             )
         ).alias("start_time"),
     )
-    lake.overwrite_table(g1.unionByName(g2).unionByName(g3), base, "gtfs_ride")
+    _write_table(g1.unionByName(g2).unionByName(g3), base, "gtfs_ride")
 
 
 _NULL = "chr(0) || 'NULL' || chr(0)"
@@ -590,7 +601,7 @@ def _build_packager_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
         (epoch + F.make_interval(hours=(F.col("rid") % 48).cast("int"))).alias("sched"),
     )
 
-    lake.overwrite_table(
+    _write_table(
         rides.select(
             F.col("rid").alias("id"),
             (1 + F.col("rid") % 20).alias("siri_route_id"),
@@ -604,7 +615,7 @@ def _build_packager_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
         base,
         "siri_ride",
     )
-    lake.overwrite_table(
+    _write_table(
         spark.range(1, 21).select(
             F.col("id"),
             F.concat(F.lit("op"), (F.col("id") % 5).cast("string")).alias("operator_ref"),
@@ -613,14 +624,14 @@ def _build_packager_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
         base,
         "siri_route",
     )
-    lake.overwrite_table(
+    _write_table(
         spark.range(1, 31).select(
             F.col("id"), F.concat(F.lit("S"), F.col("id").cast("string")).alias("code")
         ),
         base,
         "siri_stop",
     )
-    lake.overwrite_table(
+    _write_table(
         rides.select(
             F.explode(F.array(F.lit(0), F.lit(1))).alias("k"), F.col("rid")
         ).select(
@@ -634,7 +645,7 @@ def _build_packager_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
         base,
         "siri_ride_stop",
     )
-    lake.overwrite_table(
+    _write_table(
         spark.range(0, 30).select(
             (100 + F.col("id")).alias("id"),
             (32.0 + F.col("id") / 100.0).alias("lat"),
@@ -645,7 +656,7 @@ def _build_packager_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
         base,
         "gtfs_stop",
     )
-    lake.overwrite_table(
+    _write_table(
         rides.select(
             "rid", "sched", F.explode(F.array(*[F.lit(i) for i in range(3)])).alias("j")
         ).select(
