@@ -826,3 +826,207 @@ def package_backfill_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([tuple(row.values())], schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Ledger-driven aggregation invariance: the reference's
+# idempotent_process_gtfs_data loop (only never-processed or
+# previously-FAILED dates recompute; a date is successful only at >= 90%
+# completeness) gets a hard driver verdict.
+# ---------------------------------------------------------------------------
+
+
+def _build_gtfs_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
+    """GTFS-side lake derived from events (gid = event_id/25).
+    Planted contract edges, mirrored in the oracle:
+
+    - day 3 (gid % 10 == 3): exactly HALF its rides are stopless
+      (gid % 4 == 1 — gids ≡ 3 mod 10 alternate 3,1 mod 4), so day 3
+      fails the 90% completeness gate at EVERY sf and is re-selected by
+      the ledger on every rerun (recorded failed, never successful);
+    - other days: ~1.5% stopless (gid % 67 == 0) — comfortably >= 90%;
+    - gtfs_ride.start_time pre-exists NON-NULL, so the only-if-null
+      enrich must NOT overwrite it with the aggregated first departure
+      (end_time starts NULL and is set to the last arrival)."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.lit(EPOCH).cast("timestamp")
+    gid = (F.col("event_id") / 25).cast("long").alias("gid")
+    g0 = ev.where(F.col("event_id") % 25 == 0).select(gid)
+    rides = g0.select(
+        "gid",
+        (F.col("gid") % 10).alias("day"),
+        (1 + F.col("gid") % 5).alias("r"),
+        (
+            epoch
+            + F.make_interval(
+                days=(F.col("gid") % 10).cast("int"),
+                hours=(6 + F.col("gid") % 12).cast("int"),
+            )
+        ).alias("start0"),
+        (
+            ((F.col("gid") % 10 == 3) & (F.col("gid") % 4 == 1))
+            | ((F.col("gid") % 10 != 3) & (F.col("gid") % 67 == 0))
+        ).alias("stopless"),
+    )
+    _write_table(
+        spark.range(10)
+        .select(F.col("id").alias("d"))
+        .crossJoin(spark.range(1, 6).select(F.col("id").alias("r")))
+        .select(
+            (F.col("d") * 5 + F.col("r")).alias("id"),
+            F.date_add(F.lit("2024-03-01").cast("date"), F.col("d").cast("int")).alias(
+                "date"
+            ),
+            F.concat(F.lit("op"), (F.col("r") % 3).cast("string")).alias("operator_ref"),
+            F.concat(F.lit("line"), F.col("r").cast("string")).alias("line_ref"),
+        ),
+        base,
+        "gtfs_route",
+    )
+    _write_table(
+        rides.select(
+            F.col("gid").alias("id"),
+            (F.col("day") * 5 + F.col("r")).alias("gtfs_route_id"),
+            F.concat(F.lit("g"), F.col("gid").cast("string")).alias("journey_ref"),
+            F.col("start0").alias("start_time"),
+            F.lit(None).cast("timestamp").alias("end_time"),
+            F.lit(None).cast("long").alias("first_gtfs_ride_stop_id"),
+            F.lit(None).cast("long").alias("last_gtfs_ride_stop_id"),
+        ),
+        base,
+        "gtfs_ride",
+    )
+    _write_table(
+        rides.where(~F.col("stopless"))
+        .select(
+            "gid", "start0",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("seq"),
+        )
+        .select(
+            ((F.col("gid") - 1) * 3 + F.col("seq")).alias("id"),
+            F.col("gid").alias("gtfs_ride_id"),
+            (1 + (F.col("gid") + F.col("seq")) % 30).alias("gtfs_stop_id"),
+            F.col("seq").cast("int").alias("stop_sequence"),
+            (F.col("start0") + F.make_interval(mins=(F.col("seq") * 10).cast("int"))).alias(
+                "arrival_time"
+            ),
+            (
+                F.col("start0")
+                + F.make_interval(mins=(F.col("seq") * 10 + 1).cast("int"))
+            ).alias("departure_time"),
+        ),
+        base,
+        "gtfs_ride_stop",
+    )
+
+
+_SQL_RIDE_AGG_LEDGER = f"""
+    WITH g0 AS (
+      SELECT CAST(event_id // 25 AS BIGINT) AS gid
+      FROM events WHERE event_id % 25 = 0
+    ),
+    grides AS (
+      SELECT gid, gid % 10 AS day, 1 + gid % 5 AS r,
+             TIMESTAMP '{EPOCH}' + (gid % 10) * INTERVAL 1 DAY
+               + (6 + gid % 12) * INTERVAL 1 HOUR AS start0,
+             ((gid % 10 = 3 AND gid % 4 = 1)
+              OR (gid % 10 <> 3 AND gid % 67 = 0)) AS stopless
+      FROM g0
+    ),
+    -- post-run state: only-if-null keeps start_time; end/first/last come
+    -- from the stop aggregation (first/last by (stop_sequence, id))
+    enr AS (
+      SELECT gid, day * 5 + r AS groute, start0,
+             CASE WHEN NOT stopless THEN start0 + 30 * INTERVAL 1 MINUTE END AS end_t,
+             CASE WHEN NOT stopless THEN (gid - 1) * 3 + 1 END AS first_id,
+             CASE WHEN NOT stopless THEN (gid - 1) * 3 + 3 END AS last_id
+      FROM grides
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rides,
+           CAST(COUNT(end_t) AS BIGINT) AS n_end_set,
+           CAST(SUM(CAST(('0x' || substr(md5(
+             {_sql_s('gid')} || '|' ||
+             {_sql_s('groute')} || '|' ||
+             {_sql_s("date_diff('second', TIMESTAMP '1970-01-01 00:00:00', start0)")} || '|' ||
+             {_sql_s("date_diff('second', TIMESTAMP '1970-01-01 00:00:00', end_t)")} || '|' ||
+             {_sql_s('first_id')} || '|' ||
+             {_sql_s('last_id')}
+           ), 1, 10)) AS BIGINT)) AS BIGINT) AS ride_agg_hash,
+           CAST(10 AS BIGINT) AS dates_run1,
+           CAST(9 AS BIGINT) AS ok_run1,
+           CAST(1 AS BIGINT) AS failed_run1,
+           CAST(1 AS BIGINT) AS dates_run2,
+           CAST(11 AS BIGINT) AS n_ledger_rows,
+           CAST(9 AS BIGINT) AS n_ledger_ok
+    FROM enr
+    """
+
+
+@query("ride_aggregation_ledger_invariance", _SQL_RIDE_AGG_LEDGER)
+def ride_aggregation_ledger_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEDGER-DRIVEN recompute contract (ref
+    gtfs/idempotent_process_gtfs_data.py:30-124 + update_ride_aggregations
+    .py:32-74): runs the REAL gtfs-update-ride-aggregations task twice on
+    an events-derived GTFS lake and pins, against an analytic oracle:
+
+    - the enriched ``gtfs_ride`` snapshot (first/last stop by
+      stop_sequence, end_time = last arrival, start_time NOT overwritten
+      — the only-if-null guard — and stopless rides keeping NULLs);
+    - the 90% completeness gate: day 3 is built to fail it at every sf
+      (half its rides stopless), so run 1 records 9 successful dates +
+      1 failed;
+    - the ledger re-selection rule: run 2 reprocesses EXACTLY the failed
+      date (dates_run2 = 1, converging to the same state), and the
+      ledger accumulates 9 success + 2 failure rows.
+
+    Scale shape (the task's): one distributed min_by/max_by aggregation
+    over ride stops for ALL todo dates at once (the reference loops
+    dates in Python), ledger bookkeeping as parquet appends, aggregate
+    tables refreshed per run. Self-contained: temp lake removed before
+    returning."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from . import stride_tasks  # noqa: PLC0415,F401 - registers the task
+    from .tasks import run_task  # noqa: PLC0415
+
+    base = tempfile.mkdtemp(prefix="gtfs_ledger_")
+    try:
+        _build_gtfs_lake(spark, sf_dir, base)
+        m1 = run_task(spark, "gtfs-update-ride-aggregations", base_dir=base)
+        m2 = run_task(spark, "gtfs-update-ride-aggregations", base_dir=base)
+
+        rides = lake.read_table(spark, base, "gtfs_ride")
+        h = hex_to_long(
+            F.substring(
+                row_md5(
+                    F.col("id"),
+                    F.col("gtfs_route_id"),
+                    F.unix_timestamp("start_time"),
+                    F.unix_timestamp("end_time"),
+                    F.col("first_gtfs_ride_stop_id"),
+                    F.col("last_gtfs_ride_stop_id"),
+                ),
+                1,
+                10,
+            )
+        )
+        ledger = lake.read_table(spark, base, "gtfs_data_task")
+        n_ledger = ledger.count()
+        n_ok = ledger.where(F.col("success")).count()
+        return (
+            rides.agg(
+                F.count(F.lit(1)).alias("n_rides"),
+                F.count("end_time").alias("n_end_set"),
+                F.sum(h).alias("ride_agg_hash"),
+            )
+            .withColumn("dates_run1", F.lit(int(m1["dates_processed"])).cast("long"))
+            .withColumn("ok_run1", F.lit(int(m1["dates_ok"])).cast("long"))
+            .withColumn("failed_run1", F.lit(int(m1["dates_failed"])).cast("long"))
+            .withColumn("dates_run2", F.lit(int(m2["dates_processed"])).cast("long"))
+            .withColumn("n_ledger_rows", F.lit(int(n_ledger)).cast("long"))
+            .withColumn("n_ledger_ok", F.lit(int(n_ok)).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -346,6 +346,7 @@ _DEMOTE_LAST = [
     "lang_id",  # d3+d8; lang-id gate runs in-query in corpus_clean_keep
     "doc_fingerprints",  # d3+d8; fingerprint scan runs in-query in corpus_clean_keep (and curate_incremental_noop's seen index)
     "dedup_ngram_jaccard",  # d3+d8; candidate-pair Jaccard is a stage of the in-window LSH path (slot for mid-r9 package_backfill_invariance)
+    "boilerplate_ngrams",  # d3-d8 (6x); shingle-explode corpus-stat family via term_df_top20 (slot for mid-r9 ride_aggregation_ledger_invariance)
 ]
 
 # Auditable coverage ledger (VERDICT r3 item 8): every demoted query
@@ -393,6 +394,7 @@ COVERED_BY = {
     "lang_id": "corpus_clean_keep",  # lang-id gate runs in-query in the curation capstone
     "doc_fingerprints": "corpus_clean_keep",  # fingerprint scan runs in-query there (and feeds curate_incremental_noop's seen index)
     "dedup_ngram_jaccard": "dedup_minhash_lsh",  # candidate-pair exact Jaccard is the re-rank stage of the LSH pipeline
+    "boilerplate_ngrams": "term_df_top20",  # shingle-explode + hash-aggregate corpus-stat family (per-ngram doc counts ⊂ per-term doc counts)
 }
 
 
