@@ -61,7 +61,18 @@ def _rides_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     epoch = F.lit(EPOCH).cast("timestamp")
     rid = (F.col("event_id") / 20).cast("long").alias("rid")
-    src = ev.where(F.col("event_id") % 20 == 0).select(rid)
+    # Density cap (r9, measured): the synthetic schedule space is
+    # 10 days x 16 hours x 60 minutes x 50 routes, so beyond ~100k rides
+    # every additional ride lands on an already-taken (sched, route)
+    # slot and banded-join candidates grow QUADRATICALLY with ride count
+    # (1.5M rides at sf30 = ~1,250 exact-duplicate schedules per slot ->
+    # executor OOM) — a property of the fixture, not the operators. The
+    # contract this query pins is scale-independent; the banded join's
+    # own scale rows live with banded_priority_match/left_band_join over
+    # the time-diverse events data.
+    src = ev.where(
+        (F.col("event_id") % 20 == 0) & (F.col("event_id") <= 2_000_000)
+    ).select(rid)
     return src.select(
         "rid",
         (F.col("rid") % 10).alias("day_idx"),
@@ -282,7 +293,7 @@ def _sql_s(expr: str) -> str:
 _SQL_STRIDE_DAG = f"""
     WITH r0 AS (
       SELECT CAST(event_id // 20 AS BIGINT) AS rid
-      FROM events WHERE event_id % 20 = 0
+      FROM events WHERE event_id % 20 = 0 AND event_id <= 2000000
     ),
     rides AS (
       SELECT rid,
