@@ -1041,3 +1041,85 @@ def ride_aggregation_ledger_invariance(spark: SparkSession, sf_dir: str) -> Data
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+_SQL_HOURLY_LOOP = """
+    WITH r0 AS (
+      SELECT CAST(event_id // 50 AS BIGINT) AS rid
+      FROM events WHERE event_id % 50 = 0
+    ),
+    -- hour slot of each ride's telemetry (all three pings share it)
+    hrs AS (SELECT DISTINCT rid % 48 AS h FROM r0),
+    b AS (SELECT MAX(h) AS hi, MIN(h) AS lo, CAST(COUNT(*) AS BIGINT) AS n_present
+          FROM hrs),
+    -- run 2 with force_days=1: hours >= hi-24 are re-hash-checked
+    -- (skipped); older hours with a manifest short-circuit
+    -- (skipped_exists); hour slots with no rides have no manifest and
+    -- re-evaluate to 'empty' on every run
+    cls AS (
+      SELECT CAST(COUNT(CASE WHEN h < (SELECT hi FROM b) - 24 THEN 1 END) AS BIGINT)
+               AS n_old_present
+      FROM hrs
+    )
+    SELECT (b.hi - b.lo + 1) AS scanned_run1,
+           b.n_present AS created_run1,
+           (b.hi - b.lo + 1 - b.n_present) AS empty_run1,
+           (b.hi - b.lo + 1) AS scanned_run2,
+           CAST(0 AS BIGINT) AS created_run2,
+           CAST(0 AS BIGINT) AS updated_run2,
+           (b.n_present - cls.n_old_present) AS skipped_run2,
+           cls.n_old_present AS skipped_exists_run2,
+           (b.hi - b.lo + 1 - b.n_present) AS empty_run2
+    FROM b CROSS JOIN cls
+    """
+
+
+@query("package_hourly_loop_invariance", _SQL_HOURLY_LOOP)
+def package_hourly_loop_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's HOURLY packager loop contract (packagers/siri.py
+    :206-240 — the @daily production task, vs the backfill's one-job
+    catch-up): runs the REAL siri-hourly-update-packages task twice on
+    the packager lake and pins the newest-first hour sweep's outcome
+    classification against an analytic oracle:
+
+    - run 1: every present hour publishes a package ('created'); hour
+      slots inside the span with no telemetry classify 'empty' (no
+      manifest is written for them — the sweep and the backfill agree);
+    - run 2 with ``force_days=1``: hours older than the force-refresh
+      horizon short-circuit on the existing manifest WITHOUT any
+      recompute ('skipped_exists', the reference's :218 horizon);
+      hours inside the horizon re-run the hash compare and skip
+      unchanged ('skipped'); nothing is created or updated.
+
+    The artifact bytes themselves are pinned by the backfill twin
+    (package_backfill_invariance — same lake, same manifests); this row
+    pins the incremental CONTROL FLOW. Self-contained: temp dirs
+    removed before returning."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from . import stride_tasks  # noqa: PLC0415,F401 - registers the task
+    from .tasks import run_task  # noqa: PLC0415
+
+    base = tempfile.mkdtemp(prefix="pkg_hourly_")
+    try:
+        _build_packager_lake(spark, sf_dir, base)
+        out = f"{base}/packages"
+        kw = {"base_dir": base, "out_dir": out, "force_days": 1}
+        m1 = run_task(spark, "siri-hourly-update-packages", **kw)
+        m2 = run_task(spark, "siri-hourly-update-packages", **kw)
+        row = {
+            "scanned_run1": int(m1["hours_scanned"]),
+            "created_run1": int(m1["created"]),
+            "empty_run1": int(m1["empty"]),
+            "scanned_run2": int(m2["hours_scanned"]),
+            "created_run2": int(m2["created"]),
+            "updated_run2": int(m2["updated"]),
+            "skipped_run2": int(m2["skipped"]),
+            "skipped_exists_run2": int(m2["skipped_exists"]),
+            "empty_run2": int(m2["empty"]),
+        }
+        schema = ", ".join(f"{k} long" for k in row)
+        return spark.createDataFrame([tuple(row.values())], schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -347,6 +347,7 @@ _DEMOTE_LAST = [
     "doc_fingerprints",  # d3+d8; fingerprint scan runs in-query in corpus_clean_keep (and curate_incremental_noop's seen index)
     "dedup_ngram_jaccard",  # d3+d8; candidate-pair Jaccard is a stage of the in-window LSH path (slot for mid-r9 package_backfill_invariance)
     "boilerplate_ngrams",  # d3-d8 (6x); shingle-explode corpus-stat family via term_df_top20 (slot for mid-r9 ride_aggregation_ledger_invariance)
+    "ts_parse_roundtrip",  # d3-d8 multi-green; F4 ts format/parse round-trip via package_backfill_invariance's CSV cast round-trip (slot for mid-r9 package_hourly_loop_invariance)
 ]
 
 # Auditable coverage ledger (VERDICT r3 item 8): every demoted query
@@ -395,6 +396,7 @@ COVERED_BY = {
     "doc_fingerprints": "corpus_clean_keep",  # fingerprint scan runs in-query there (and feeds curate_incremental_noop's seen index)
     "dedup_ngram_jaccard": "dedup_minhash_lsh",  # candidate-pair exact Jaccard is the re-rank stage of the LSH pipeline
     "boilerplate_ngrams": "term_df_top20",  # shingle-explode + hash-aggregate corpus-stat family (per-ngram doc counts ⊂ per-term doc counts)
+    "ts_parse_roundtrip": "package_backfill_invariance",  # F4 format/parse round-trip: the CSV artifact re-read casts timestamp strings back and re-hashes them
 }
 
 
