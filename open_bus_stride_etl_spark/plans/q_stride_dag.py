@@ -1050,27 +1050,27 @@ _SQL_HOURLY_LOOP = """
     ),
     -- hour slot of each ride's telemetry (all three pings share it)
     hrs AS (SELECT DISTINCT rid % 48 AS h FROM r0),
-    b AS (SELECT MAX(h) AS hi, MIN(h) AS lo, CAST(COUNT(*) AS BIGINT) AS n_present
-          FROM hrs),
-    -- run 2 with force_days=1: hours >= hi-24 are re-hash-checked
-    -- (skipped); older hours with a manifest short-circuit
-    -- (skipped_exists); hour slots with no rides have no manifest and
-    -- re-evaluate to 'empty' on every run
-    cls AS (
-      SELECT CAST(COUNT(CASE WHEN h < (SELECT hi FROM b) - 24 THEN 1 END) AS BIGINT)
-               AS n_old_present
-      FROM hrs
+    b AS (SELECT MAX(h) AS hi, MIN(h) AS lo FROM hrs),
+    -- the task runs with max_hours=12 (newest-first; scanned counts
+    -- EVERY stepped hour, empty slots included) and force_days=0
+    -- (force_cutoff == the newest hour, so on run 2 only that hour
+    -- re-runs the hash compare; every older present hour
+    -- short-circuits on its manifest without any Spark job)
+    w AS (SELECT LEAST(b.hi - b.lo + 1, 12) AS n_scan, b.hi AS hi FROM b),
+    inwin AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_present
+      FROM hrs, w WHERE hrs.h > w.hi - w.n_scan
     )
-    SELECT (b.hi - b.lo + 1) AS scanned_run1,
-           b.n_present AS created_run1,
-           (b.hi - b.lo + 1 - b.n_present) AS empty_run1,
-           (b.hi - b.lo + 1) AS scanned_run2,
+    SELECT CAST(w.n_scan AS BIGINT) AS scanned_run1,
+           inwin.n_present AS created_run1,
+           CAST(w.n_scan - inwin.n_present AS BIGINT) AS empty_run1,
+           CAST(w.n_scan AS BIGINT) AS scanned_run2,
            CAST(0 AS BIGINT) AS created_run2,
            CAST(0 AS BIGINT) AS updated_run2,
-           (b.n_present - cls.n_old_present) AS skipped_run2,
-           cls.n_old_present AS skipped_exists_run2,
-           (b.hi - b.lo + 1 - b.n_present) AS empty_run2
-    FROM b CROSS JOIN cls
+           CAST(1 AS BIGINT) AS skipped_run2,
+           (inwin.n_present - 1) AS skipped_exists_run2,
+           CAST(w.n_scan - inwin.n_present AS BIGINT) AS empty_run2
+    FROM w CROSS JOIN inwin
     """
 
 
@@ -1085,11 +1085,13 @@ def package_hourly_loop_invariance(spark: SparkSession, sf_dir: str) -> DataFram
     - run 1: every present hour publishes a package ('created'); hour
       slots inside the span with no telemetry classify 'empty' (no
       manifest is written for them — the sweep and the backfill agree);
-    - run 2 with ``force_days=1``: hours older than the force-refresh
-      horizon short-circuit on the existing manifest WITHOUT any
-      recompute ('skipped_exists', the reference's :218 horizon);
-      hours inside the horizon re-run the hash compare and skip
-      unchanged ('skipped'); nothing is created or updated.
+    - run 2 with ``force_days=0``: every hour older than the
+      force-refresh horizon (= the newest hour) short-circuits on the
+      existing manifest WITHOUT any recompute ('skipped_exists', the
+      reference's :218 horizon); the newest hour re-runs the hash
+      compare and skips unchanged ('skipped'); nothing is created or
+      updated. ``max_hours=12`` bounds the sweep (newest-first, the
+      reference's budget knob).
 
     The artifact bytes themselves are pinned by the backfill twin
     (package_backfill_invariance — same lake, same manifests); this row
@@ -1105,7 +1107,11 @@ def package_hourly_loop_invariance(spark: SparkSession, sf_dir: str) -> DataFram
     try:
         _build_packager_lake(spark, sf_dir, base)
         out = f"{base}/packages"
-        kw = {"base_dir": base, "out_dir": out, "force_days": 1}
+        # max_hours bounds the sweep (the loop pays ~2 Spark jobs per
+        # scanned hour — an unbounded 48-hour sweep measured 87 s at
+        # sf0.1); force_days=0 puts the force-refresh horizon at the
+        # newest hour so run 2 exercises BOTH skip classes.
+        kw = {"base_dir": base, "out_dir": out, "force_days": 0, "max_hours": 12}
         m1 = run_task(spark, "siri-hourly-update-packages", **kw)
         m2 = run_task(spark, "siri-hourly-update-packages", **kw)
         row = {
