@@ -280,7 +280,10 @@ _DEMOTE_LAST = [
     # end-to-end invariance verdict, VERDICT item 2) and
     # curate_incremental_noop (the last pytest-only LLM task's
     # incremental no-op contract, item 6). The 12 slots came from the
-    # freshest multi-greens, each with an in-window family twin:
+    # freshest multi-greens, each with an in-window family twin — the
+    # entries live at the "--- r9 demotions" marker near the list tail
+    # (NOT in the Round-8 block that happens to follow this comment;
+    # several names appear in both as r8 promotions then r9 demotions).
     # --- Round-8 rotation (VERDICT r7 items 2, 3, 6): the pre-declared
     # rotation debt was PAID — the six d1+d5 demotes (null_marker_todo,
     # like_prefix, window_id_bounds, running_min, topk_recent,

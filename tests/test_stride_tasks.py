@@ -255,7 +255,11 @@ def test_siri_flat_export_plan_broadcasts_dims(tables):
             "formatted"
         )
     )
-    assert plan.count("BroadcastHashJoin") >= 3, plan
+    # "formatted" mode prints every physical node twice (once in the
+    # numbered tree, once in the details section), so 3 broadcast joins
+    # = 6 occurrences; a >= 3 threshold would stay green with one of
+    # the dimension joins regressed to SortMergeJoin (2 joins -> 4).
+    assert plan.count("BroadcastHashJoin") >= 6, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
