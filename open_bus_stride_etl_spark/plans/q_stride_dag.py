@@ -598,8 +598,10 @@ def _build_packager_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
     Hours are CLAMPED to 48 (rid % 48) so package count stays bounded
     while rows-per-hour grow with sf — the backfill's one-job shape.
     Planted edges: NULL recorded_at_time pings (excluded by the window
-    predicate), NULL duration_minutes, ride stops with no GTFS match
-    (left-join NULL columns in the export). All column derivations are
+    predicate), one fully telemetry-less hour slot (rid % 48 == 43:
+    every ping NULL-ts — the hourly sweep's 'empty' class, inside its
+    12-hour window), NULL duration_minutes, ride stops with no GTFS
+    match (left-join NULL columns in the export). All column derivations are
     mirrored in the oracle; doubles/timestamps round-trip the CSV and
     hash identically across engines (shortest-roundtrip rendering in
     both — verified r9)."""
@@ -677,7 +679,8 @@ def _build_packager_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
             ),
             F.lit(1).cast("long").alias("siri_snapshot_id"),
             F.when(
-                ~((F.col("j") == 2) & (F.col("rid") % 9 == 0)),
+                ~((F.col("j") == 2) & (F.col("rid") % 9 == 0))
+                & (F.col("rid") % 48 != 43),
                 F.col("sched") + F.make_interval(mins=(F.col("j") * 25).cast("int")),
             ).alias("recorded_at_time"),
             (32.0 + ((F.col("rid") + F.col("j")) % 80) / 100.0).alias("lat"),
@@ -721,7 +724,7 @@ _SQL_PACKAGE_BACKFILL = f"""
     locs AS (
       SELECT r.rid, (r.rid - 1) * 3 + t.j + 1 AS loc_id,
              2 * r.rid - 1 + t.j % 2 AS rs_id,
-             CASE WHEN NOT (t.j = 2 AND r.rid % 9 = 0)
+             CASE WHEN NOT (t.j = 2 AND r.rid % 9 = 0) AND r.rid % 48 <> 43
                   THEN r.sched + t.j * 25 * INTERVAL 1 MINUTE END AS ts,
              32.0 + ((r.rid + t.j) % 80) / 100.0 AS lat,
              34.0 + ((r.rid * 3 + t.j) % 80) / 100.0 AS lon,
@@ -1049,7 +1052,10 @@ _SQL_HOURLY_LOOP = """
       FROM events WHERE event_id % 50 = 0
     ),
     -- hour slot of each ride's telemetry (all three pings share it)
-    hrs AS (SELECT DISTINCT rid % 48 AS h FROM r0),
+    -- hour 43 is telemetry-less by construction (every ping NULL-ts),
+    -- so it is ABSENT here while sitting inside the 12-hour sweep
+    -- window: the 'empty' outcome class is exercised on both runs
+    hrs AS (SELECT DISTINCT rid % 48 AS h FROM r0 WHERE rid % 48 <> 43),
     b AS (SELECT MAX(h) AS hi, MIN(h) AS lo FROM hrs),
     -- the task runs with max_hours=12 (newest-first; scanned counts
     -- EVERY stepped hour, empty slots included) and force_days=0
@@ -1084,7 +1090,9 @@ def package_hourly_loop_invariance(spark: SparkSession, sf_dir: str) -> DataFram
 
     - run 1: every present hour publishes a package ('created'); hour
       slots inside the span with no telemetry classify 'empty' (no
-      manifest is written for them — the sweep and the backfill agree);
+      manifest is written for them — the sweep and the backfill agree;
+      slot rid%48==43 is telemetry-less BY CONSTRUCTION inside the
+      12-hour window, so the class is non-degenerate at every sf);
     - run 2 with ``force_days=0``: every hour older than the
       force-refresh horizon (= the newest hour) short-circuits on the
       existing manifest WITHOUT any recompute ('skipped_exists', the

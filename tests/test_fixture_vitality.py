@@ -66,6 +66,69 @@ def test_ride_contract_classes_all_populated(enriched):
     assert 0 < gtfs < n, (gtfs, n)
 
 
+# The packager fixture's planted empty hour (rid % 48 == 43) needs
+# rid >= 43, i.e. >= 2150 events — present from sf0.01 (the driver's
+# correctness-gate scale, where vitality matters) but not at sf0.001's
+# 1k events. Pin these two tests to the gate scale.
+PKG_SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def packaged(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("pkg_vitality"))
+    qsd._build_packager_lake(spark, PKG_SF_DIR, base)
+    out = f"{base}/packages"
+    m1 = run_task(spark, "siri-packages-backfill", base_dir=base, out_dir=out)
+    wide = (
+        spark.read.option("header", True).csv(f"{out}/*.csv").toPandas()
+    )
+    return out, m1, wide
+
+
+def test_packager_contract_classes_all_populated(packaged):
+    out, m1, wide = packaged
+    import glob
+    import os
+
+    # the planted telemetry-less slot (rid % 48 == 43 -> hour
+    # 2024-03-02T19) must publish NOTHING while its neighbours publish
+    assert not os.path.exists(os.path.join(out, "2024-03-02.19-metadata.json"))
+    assert os.path.exists(os.path.join(out, "2024-03-02.18-metadata.json"))
+    assert os.path.exists(os.path.join(out, "2024-03-02.20-metadata.json"))
+    assert int(m1["written"]) > 1
+    n = len(wide)
+    assert n > 0
+    # NULL-ts pings are excluded: fewer rows than 3 pings x 2 stops
+    # per ride would produce if nothing were planted
+    n_rides = wide["ride_id"].nunique()
+    assert n < 6 * n_rides
+    # left-join NULL classes reach the artifact (empty CSV fields) and
+    # their populated counterparts exist too
+    for col in ("stop_name", "duration_minutes"):
+        assert 0 < wide[col].notna().sum() < n, col
+
+
+def test_hourly_loop_outcome_classes_all_fire(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("hourly_vitality"))
+    qsd._build_packager_lake(spark, PKG_SF_DIR, base)
+    kw = {
+        "base_dir": base,
+        "out_dir": f"{base}/packages",
+        "force_days": 0,
+        "max_hours": 12,
+    }
+    m1 = run_task(spark, "siri-hourly-update-packages", **kw)
+    m2 = run_task(spark, "siri-hourly-update-packages", **kw)
+    # run 1: creations AND the planted empty slot
+    assert int(m1["created"]) >= 2
+    assert int(m1["empty"]) >= 1
+    # run 2: both skip classes fire, nothing is written
+    assert int(m2["skipped"]) >= 1
+    assert int(m2["skipped_exists"]) >= 1
+    assert int(m2["empty"]) >= 1
+    assert int(m2["created"]) == 0 and int(m2["updated"]) == 0
+
+
 def test_ride_stop_contract_classes_all_populated(enriched):
     _, stops = enriched
     n = len(stops)
