@@ -2023,7 +2023,24 @@ def curate_incremental_noop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = tempfile.mkdtemp(prefix="curate_inc_")
     try:
-        _docs(spark, sf_dir).select("doc_id", "text").write.mode("overwrite").parquet(
+        # Stage documents PLUS deterministic full-text clones (docs with
+        # doc_id % 50 == 1, re-keyed above max_id) so the exact-dup
+        # keeper branch does real work: the shared corpus plants only
+        # PREFIX duplicates (dedup_exact_groups' 60-char fingerprint),
+        # zero full-text fingerprint collisions — without clones the
+        # keeper predicate is vacuously true at every sf and this row
+        # would pin a branch that never fires. The clones provably leave
+        # the survivor set unchanged (every clone loses the min-id
+        # keeper race to its original, and as the strictly-higher id it
+        # can only ever be the DROPPED side of an LSH pair), so the
+        # analytic oracle over `documents` alone still predicts the
+        # artifact exactly — by construction, not coincidence.
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        max_id = d.agg(F.max("doc_id")).collect()[0][0]  # control-plane scalar
+        clones = d.where(F.col("doc_id") % 50 == 1).select(
+            (F.col("doc_id") + F.lit(max_id)).alias("doc_id"), "text"
+        )
+        d.unionByName(clones).write.mode("overwrite").parquet(
             f"{base}/documents.parquet"
         )
         hist = f"{base}/hist"

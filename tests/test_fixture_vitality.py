@@ -140,3 +140,46 @@ def test_ride_stop_contract_classes_all_populated(enriched):
     assert 0 < matched < n, (matched, n)
     # no-telemetry rides' stops never get a nearest location; the rest do
     assert 0 < nearest < n, (nearest, n)
+
+
+def test_curate_drop_reason_classes_all_fire(spark, tmp_path_factory):
+    """Every curation drop REASON must be exercised by the gate-scale
+    corpus: quality/lang filtering, exact-dup keeper pruning, and LSH
+    near-dup loser pruning. curate_incremental_noop's oracle equality
+    holds even if the corpus drifts to exercise none of them."""
+    import shutil
+
+    from open_bus_stride_etl_spark.plans import llm_tasks  # noqa: F401
+
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path_factory.mktemp("curate_vitality"))
+    # the same staging curate_incremental_noop uses: documents + full-
+    # text clones (the shared corpus plants only PREFIX dups, so the
+    # keeper branch needs the clones to be non-vacuous)
+    docs = qsd.load_table(spark, PKG_SF_DIR, "documents").select("doc_id", "text")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    clones = docs.where(F.col("doc_id") % 50 == 1).select(
+        (F.col("doc_id") + F.lit(max_id)).alias("doc_id"), "text"
+    )
+    docs.unionByName(clones).write.mode("overwrite").parquet(
+        f"{base}/documents.parquet"
+    )
+    m = run_task(spark, "llm-curate-corpus", base_dir=base, out_dir=f"{base}/out")
+    assert int(m["n_final"]) > 0
+    assert int(m["n_quality_lang"]) < int(m["n_total"])      # quality/lang drops
+    assert int(m["n_after_exact"]) < int(m["n_quality_lang"])  # exact dups
+    assert int(m["n_near_dup_dropped"]) > 0                  # LSH near-dups
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_shard_export_every_shard_populated(spark, sf_dir):
+    """All 8 shards of the training export must be non-empty: an empty
+    shard would hash-match the analytic oracle (both sides predict the
+    same degenerate assignment), but a training loader reading the
+    artifact would see a missing partition."""
+    from open_bus_stride_etl_spark.plans import registry
+
+    rows = registry.queries()["shard_export_invariance"](spark, sf_dir).collect()
+    assert len(rows) == 8, rows
+    assert min(r["n_docs"] for r in rows) > 0, rows
