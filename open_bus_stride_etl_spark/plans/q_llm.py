@@ -1675,13 +1675,22 @@ def semdedup_scaled_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pii_redaction_stats",
     r"""
+    WITH src AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 25 = 0
+                   THEN text || ' mail: user' || CAST(doc_id AS VARCHAR) || '@ex.org'
+                   ELSE text END)
+             || (CASE WHEN doc_id % 40 = 0 THEN ' tel 055 123 4567' ELSE '' END)
+               AS text
+      FROM documents
+    )
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails,
            CAST(len(regexp_extract_all(text, '\+?[0-9][0-9 ()-]{6,}[0-9]')) AS BIGINT) AS n_phones,
            CAST(length(regexp_replace(regexp_replace(text,
                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
                 '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
-    FROM documents
+    FROM src
     """,
 )
 def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1689,10 +1698,27 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     email/phone match counts and the post-redaction length — the
     pre-release scrub of a corpus pipeline. Patterns stay in the regex
     subset Java and RE2 agree on, so the oracle counts identically.
-    (The synthetic corpus plants no PII — the planted-PII behavior is
-    pinned by tests/test_corpus_stats.py.)"""
+    The synthetic corpus plants NO PII, so the query derives it
+    deterministically (an email appended for doc_id % 25 == 0, a phone
+    for doc_id % 40 == 0, both for % 200) — without the derivation the
+    match/substitution branches were vacuous at every sf and the driver
+    verdict pinned only zeros (planted-PII behavior was pytest-only,
+    tests/test_corpus_stats.py)."""
     d = _docs(spark, sf_dir)
-    t = F.col("text")
+    t = F.concat(
+        F.when(
+            F.col("doc_id") % 25 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" mail: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@ex.org"),
+            ),
+        ).otherwise(F.col("text")),
+        F.when(F.col("doc_id") % 40 == 0, F.lit(" tel 055 123 4567")).otherwise(
+            F.lit("")
+        ),
+    )
     c = tx.pii_counts(t)
     return d.select(
         "doc_id",
