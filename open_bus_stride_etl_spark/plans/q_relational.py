@@ -315,7 +315,15 @@ def topk_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- U1/J9: ledger missing-dates union (idempotent_process_gtfs_data.py:
 #     95-109): never-attempted ∪ failed-or-null, desc. The ledger is
 #     synthesized per-day from events: attempted = days <= 01-20; success
-#     tri-state from the day's error count. -------------------------------
+#     tri-state keyed on day-of-month (day % 7: 0 -> NULL, 1-2 -> FALSE,
+#     else TRUE) so every union branch AND the success-exclusion class
+#     fire BY CONSTRUCTION at every sf. The original error-count
+#     tri-state (0 / 1-5 / >5 errors) concentrated into the one >5 class
+#     at every gate — per-day error counts grow with sf, so the TRUE and
+#     FALSE branches were vacuous and got MORE vacuous with scale (r9
+#     audit). The real data-derived completeness gate lives in
+#     ride_aggregation_ledger_invariance (the 90% rule on the actual
+#     task); this row pins the U1/J9 union/anti-join shape. --------------
 
 @query(
     "ledger_missing_dates",
@@ -323,13 +331,12 @@ def topk_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH all_days AS (SELECT DISTINCT CAST(ts AS DATE) AS date FROM events
                       WHERE ts IS NOT NULL),
          ledger AS (
-           SELECT CAST(ts AS DATE) AS date,
-                  CASE WHEN COUNT(CASE WHEN event_type = 'error' THEN 1 END) = 0 THEN TRUE
-                       WHEN COUNT(CASE WHEN event_type = 'error' THEN 1 END) > 5 THEN NULL
-                       ELSE FALSE END AS success
-           FROM events
-           WHERE CAST(ts AS DATE) <= DATE '2024-01-20'
-           GROUP BY CAST(ts AS DATE)
+           SELECT date,
+                  CASE WHEN day(date) % 7 = 0 THEN NULL
+                       WHEN day(date) % 7 <= 2 THEN FALSE
+                       ELSE TRUE END AS success
+           FROM (SELECT DISTINCT CAST(ts AS DATE) AS date FROM events
+                 WHERE CAST(ts AS DATE) <= DATE '2024-01-20')
          )
     SELECT date FROM all_days
     WHERE date NOT IN (SELECT date FROM ledger)
@@ -343,15 +350,15 @@ def ledger_missing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (and the reference's never-null date ledger) agree.
     ev = load_table(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
     all_days = ev.select("date").where(F.col("date").isNotNull()).distinct()
-    nerr = F.count(F.when(F.col("event_type") == "error", 1))
     ledger = (
         ev.where(F.col("date") <= F.lit("2024-01-20").cast("date"))
-        .groupBy("date")
-        .agg(
-            F.when(nerr == 0, F.lit(True))
-            .when(nerr > 5, F.lit(None))
-            .otherwise(F.lit(False))
-            .alias("success")
+        .select("date")
+        .distinct()
+        .withColumn(
+            "success",
+            F.when(F.dayofmonth("date") % 7 == 0, F.lit(None).cast("boolean"))
+            .when(F.dayofmonth("date") % 7 <= 2, F.lit(False))
+            .otherwise(F.lit(True)),
         )
         .withColumn("task_name", F.lit("t"))
     )

@@ -127,6 +127,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A4/W1/F7: first/last event per group + duration (add_ride_durations core)
 # NULL ordering keys must be ignored (NULLS LAST): error events get a NULL
 # ts to exercise it, mirroring rides whose locations lack recorded_at_time.
+# user_id % 50 == 7 groups are ALL-null (the no-telemetry ride: endpoints
+# and duration stay NULL while n_rows counts) — without them that output
+# class was vacuous at every sf: no user is all-errors by chance, and the
+# odds vanish as groups grow with sf (r9 audit).
 # ---------------------------------------------------------------------------
 
 @query(
@@ -134,7 +138,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (
       SELECT event_id, user_id,
-             CASE WHEN event_type = 'error' THEN NULL ELSE ts END AS ts_n
+             CASE WHEN event_type = 'error' OR user_id % 50 = 7
+                  THEN NULL ELSE ts END AS ts_n
       FROM events
     ), r AS (
       SELECT *,
@@ -156,7 +161,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def first_last_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "ts_n", F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("ts"))
+        "ts_n",
+        F.when(
+            (F.col("event_type") == "error") | (F.col("user_id") % 50 == 7),
+            F.lit(None),
+        ).otherwise(F.col("ts")),
     )
     okey = F.when(F.col("ts_n").isNotNull(), F.struct(F.col("ts_n"), F.col("event_id")))
     return ev.groupBy("user_id").agg(
