@@ -686,11 +686,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(list_sum(list_transform(range(1, length(text) + 1),
                                         i -> ord(substr(text, i, 1)))) AS DOUBLE)
              / octet_length(encode(text)) AS mean_byte,
-           TRUE AS decode_ok,
-           CAST(1 + doc_id % 7 AS INTEGER) AS width,
-           CAST(1 + doc_id % 5 AS INTEGER) AS height,
-           CAST(1 AS INTEGER) AS n_channels,
-           CAST((doc_id % 256) * 1000 AS BIGINT) AS mean_pixel_milli,
+           doc_id % 31 <> 0 AS decode_ok,
+           CASE WHEN doc_id % 31 <> 0 THEN CAST(1 + doc_id % 7 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 31 <> 0 THEN CAST(1 + doc_id % 5 AS INTEGER) END AS height,
+           CASE WHEN doc_id % 31 <> 0 THEN CAST(CASE doc_id % 5
+                WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 3 WHEN 3 THEN 2
+                ELSE 4 END AS INTEGER) END AS n_channels,
+           CASE WHEN doc_id % 31 <> 0
+                THEN CAST((doc_id % 256) * 1000 AS BIGINT) END AS mean_pixel_milli,
            TRUE AS audio_ok,
            CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
            CAST(1 + doc_id % 9 AS BIGINT) AS n_samples,
@@ -703,11 +706,16 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THREE decode paths under one oracle. (a) Documents' text bytes
     stand in for opaque media payloads; the deterministic fake decoder
     (operators/multimodal.py:fake_decode_stats) computes byte stats in
-    the Arrow mapInPandas shape. (b) r5: the REAL stdlib PNG codec
-    round-trip — each doc synthesizes a deterministic grayscale PNG
-    (width 1 + doc_id%7, height 1 + doc_id%5, all pixels doc_id%256)
-    via operators/multimodal.py:encode_png, then decode_image_stats
-    runs the actual zlib+struct+unfilter decoder over it. (c) r5: the
+    the Arrow mapInPandas shape. (b) r5, widened r9: the REAL stdlib PNG
+    codec round-trip — each doc synthesizes a deterministic PNG (width
+    1 + doc_id%7, height 1 + doc_id%5, every sample doc_id%256) whose
+    COLOR TYPE cycles through all five supported variants (doc_id%5 ->
+    gray/RGB/palette/gray-alpha/RGBA), whose scanline FILTERS cycle
+    through all five unfilter branches, and where doc_id%31 payloads
+    are truncated mid-IHDR (decode_ok=false + NULL stats — the P8
+    exception-tolerant class under the driver gate, not just the
+    pytest fuzz); decode_image_stats runs the actual
+    zlib+struct+unfilter decoder over it. (c) r5: the
     REAL stdlib WAV PCM round-trip — a deterministic clip per doc
     (rate 8000 + (doc_id%4)*4000, 1 + doc_id%9 frames, 1 + doc_id%2
     channels, constant amplitude doc_id%1001 - 500) through encode_wav
@@ -733,16 +741,33 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fake = fake_decode_stats(media)
 
+    # Full decoder matrix under the driver gate (r9): color type cycles
+    # through all five supported variants, every scanline's filter type
+    # cycles through all five unfilter branches, and doc_id % 31 rows
+    # are truncated mid-IHDR to exercise the exception-tolerant failure
+    # class (decode_ok = false, NULL stats — the P8 contract). All
+    # pixel samples (incl. alpha, incl. the gray palette) hold the same
+    # value, so the oracle's analytic mean is color-type-invariant
+    # while n_channels discriminates the decode path taken.
+    _CT = (0, 2, 3, 4, 6)
+    _CHAN_IN = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+    _PLTE = bytes(b for v in range(256) for b in (v, v, v))
+
     def synth_png(it):
         for pdf in it:
             ids = pdf["doc_id"].to_numpy()
-            payloads = [
-                encode_png(
-                    np.full((1 + int(i) % 5, 1 + int(i) % 7, 1), int(i) % 256, dtype=np.uint8),
-                    color_type=0,
+            payloads = []
+            for i in ids:
+                i = int(i)
+                v, ct = i % 256, _CT[i % 5]
+                h, w = 1 + i % 5, 1 + i % 7
+                png = encode_png(
+                    np.full((h, w, _CHAN_IN[ct]), v, dtype=np.uint8),
+                    color_type=ct,
+                    filters=[(i + y) % 5 for y in range(h)],
+                    palette=_PLTE if ct == 3 else None,
                 )
-                for i in ids
-            ]
+                payloads.append(png[:20] if i % 31 == 0 else png)
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     def synth_wav(it):
