@@ -187,15 +187,33 @@ def first_last_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "time_window_halfopen",
     """
+    WITH e AS (
+      SELECT event_id,
+             CASE WHEN event_id % 101 = 0 THEN TIMESTAMP '2024-01-10 00:00:00'
+                  WHEN event_id % 103 = 0 THEN TIMESTAMP '2024-01-11 00:00:00'
+                  ELSE ts END AS ts,
+             user_id, event_type
+      FROM events
+    )
     SELECT event_id, ts, user_id, event_type
-    FROM events
+    FROM e
     WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
     """,
 )
 def time_window_halfopen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # The raw microsecond timestamps never land exactly on a bound, so
+    # the half-open-vs-closed distinction was unobservable at every sf
+    # (a `<=` bug produced the identical result — r9 audit). Pin pings
+    # AT both edges: event_id % 101 rows sit exactly on the lower bound
+    # (must be INCLUDED), % 103 rows exactly on the upper (EXCLUDED).
     lo = F.lit("2024-01-10 00:00:00").cast("timestamp")
     hi = F.lit("2024-01-11 00:00:00").cast("timestamp")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts",
+        F.when(F.col("event_id") % 101 == 0, lo)
+        .when(F.col("event_id") % 103 == 0, hi)
+        .otherwise(F.col("ts")),
+    )
     return ev.where((F.col("ts") >= lo) & (F.col("ts") < hi)).select(
         "event_id", "ts", "user_id", "event_type"
     )
