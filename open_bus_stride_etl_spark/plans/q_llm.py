@@ -531,7 +531,17 @@ _SQL_LANG_SCORES = ", ".join(
 @query(
     "lang_id",
     f"""
-    WITH s AS (SELECT doc_id, lang AS labeled_lang, {_SQL_LANG_SCORES} FROM documents)
+    WITH src AS (
+      SELECT doc_id, lang,
+             text || CASE WHEN doc_id % 23 = 0 THEN repeat(' el la de y', 12)
+                          WHEN doc_id % 29 = 0 THEN repeat(' der die und ist', 12)
+                          WHEN doc_id % 37 = 0 THEN repeat(' le et est', 12)
+                          WHEN doc_id % 41 = 0
+                            THEN repeat(' el y', 12) || repeat(' der ist', 12)
+                          ELSE '' END AS text
+      FROM documents
+    ),
+    s AS (SELECT doc_id, lang AS labeled_lang, {_SQL_LANG_SCORES} FROM src)
     SELECT doc_id, labeled_lang, s_en, s_es, s_de, s_fr,
            CASE WHEN GREATEST(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
                 WHEN s_en = GREATEST(s_en, s_es, s_de, s_fr) THEN 'en'
@@ -542,13 +552,33 @@ _SQL_LANG_SCORES = ", ".join(
     """,
 )
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generator's vocabulary carries only ENGLISH marker words, so
+    without derivation the es/de/fr branches — and the tie-priority
+    order (en > es > de > fr) — were vacuous at every sf (r9 audit):
+    every doc classified en or und. Planted suffixes make each branch
+    win somewhere, and the % 41 class plants an exact es/de score TIE
+    (24 = 24 > s_en) so the preference order itself is cross-engine
+    observable (Spark's reversed when-chain vs the oracle's CASE)."""
     d = _docs(spark, sf_dir)
-    scores = tx.lang_scores(F.col("text"))
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 23 == 0, F.repeat(F.lit(" el la de y"), 12))
+        .when(F.col("doc_id") % 29 == 0, F.repeat(F.lit(" der die und ist"), 12))
+        .when(F.col("doc_id") % 37 == 0, F.repeat(F.lit(" le et est"), 12))
+        .when(
+            F.col("doc_id") % 41 == 0,
+            F.concat(
+                F.repeat(F.lit(" el y"), 12), F.repeat(F.lit(" der ist"), 12)
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    scores = tx.lang_scores(t)
     return d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         *[s.cast("long").alias(f"s_{lang}") for lang, s in scores.items()],
-        tx.lang_id(F.col("text")).alias("predicted_lang"),
+        tx.lang_id(t).alias("predicted_lang"),
     )
 
 
