@@ -173,6 +173,40 @@ def test_curate_drop_reason_classes_all_fire(spark, tmp_path_factory):
     shutil.rmtree(base, ignore_errors=True)
 
 
+def test_planted_query_classes_fire_at_gate_scale(spark):
+    """The r9 in-query derivations (boundary pings, PII, multilingual
+    suffixes, the PNG matrix) must stay non-vacuous at the driver's
+    sf0.01 gate — if a planted class empties, both engines agree on the
+    degenerate value and the green row stops pinning the contract."""
+    from pyspark.sql import functions as F
+
+    from open_bus_stride_etl_spark.plans import registry
+
+    qs = registry.queries()
+    sf = PKG_SF_DIR
+
+    hw = qs["time_window_halfopen"](spark, sf)
+    lo = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    hi = F.lit("2024-01-11 00:00:00").cast("timestamp")
+    assert hw.where(F.col("ts") == lo).count() > 0  # inclusive edge
+    assert hw.where(F.col("ts") == hi).count() == 0  # exclusive edge
+
+    pii = qs["pii_redaction_stats"](spark, sf).agg(
+        F.sum("n_emails").alias("e"), F.sum("n_phones").alias("p")
+    ).first()
+    assert pii.e > 0 and pii.p > 0
+
+    langs = {
+        r.predicted_lang
+        for r in qs["lang_id"](spark, sf).select("predicted_lang").distinct().collect()
+    }
+    assert {"en", "und", "es", "de", "fr"} <= langs, langs
+
+    mm = qs["multimodal_decode_stats"](spark, sf)
+    chans = {r.n_channels for r in mm.select("n_channels").distinct().collect()}
+    assert {None, 1, 2, 3, 4} <= chans, chans  # corrupt + all color types
+
+
 def test_shard_export_every_shard_populated(spark, sf_dir):
     """All 8 shards of the training export must be non-empty: an empty
     shard would hash-match the analytic oracle (both sides predict the
