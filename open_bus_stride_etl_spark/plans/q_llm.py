@@ -959,14 +959,20 @@ def quantile_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "balanced_corpus",
     """
-    WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE source END AS source,
+             lang, n_chars
+      FROM documents
+    ),
+    counts AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY source),
     m AS (SELECT MIN(n_docs) AS min_n FROM counts),
     rates AS (
       SELECT source, CAST((min_n * 10000) // n_docs AS BIGINT) AS rate_bp
       FROM counts, m
     )
     SELECT d.doc_id, d.source, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
-    FROM documents d JOIN rates r ON d.source = r.source
+    FROM d JOIN rates r ON d.source = r.source
     WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 10)) AS BIGINT) % 10000
           < r.rate_bp
     """,
@@ -981,12 +987,23 @@ def balanced_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank/quota sort). The per-source selection REPORT
     (operators/curation.py:balance_sources) shares this exact rate
     table + membership core — its standalone query was merged into this
-    one in the r5 registry consolidation."""
+    one in the r5 registry consolidation.
+
+    The driver corpus is PERFECTLY source-balanced (20 sources x
+    exactly 25 docs at sf0.01), so every rate_bp computed to 10000 and
+    the downsampling never dropped a row — the whole mechanism was
+    vacuous under the gate (r9 audit). The derived 'even' mega-source
+    (all even doc_ids) plants real skew: its rate lands in the
+    hundreds of bp (heavy drop class) while the smallest surviving
+    source keeps everything (no-drop class), so both sides of the
+    keep/drop membership fire at every sf."""
     from ..operators import curation as cu  # noqa: PLC0415
 
-    return cu.balanced_docs(_docs(spark, sf_dir)).select(
-        "doc_id", "source", "lang", "n_chars"
+    d = _docs(spark, sf_dir).withColumn(
+        "source",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("even")).otherwise(F.col("source")),
     )
+    return cu.balanced_docs(d).select("doc_id", "source", "lang", "n_chars")
 
 
 @query(

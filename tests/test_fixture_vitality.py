@@ -206,6 +206,14 @@ def test_planted_query_classes_fire_at_gate_scale(spark):
     chans = {r.n_channels for r in mm.select("n_channels").distinct().collect()}
     assert {None, 1, 2, 3, 4} <= chans, chans  # corrupt + all color types
 
+    # source balancing must actually drop rows (the driver corpus is
+    # perfectly balanced, so without the derived skew rate_bp == 10000
+    # everywhere and the mechanism was a no-op)
+    docs_n = qsd.load_table(spark, sf, "documents").count()
+    bal = qs["balanced_corpus"](spark, sf)
+    assert 0 < bal.count() < docs_n
+    assert bal.where(F.col("source") == "even").count() > 0  # skew class kept some
+
 
 def test_shard_export_every_shard_populated(spark, sf_dir):
     """All 8 shards of the training export must be non-empty: an empty
