@@ -815,3 +815,167 @@ def streaming_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _run_foreach_batch(stream, _score, out_schema, spark, src_dir)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
+
+
+@query(
+    "streaming_watermark_late_drop",
+    """
+    WITH b0 AS (
+      SELECT event_id, ts FROM events
+      WHERE ts IS NOT NULL AND user_id % 5 = 0
+    ),
+    anchor AS (
+      SELECT date_trunc('hour', max(ts)) + INTERVAL 8 HOUR AS a FROM b0
+    ),
+    b0all AS (
+      SELECT event_id, ts FROM b0
+      UNION ALL SELECT CAST(-1 AS BIGINT), a FROM anchor
+    ),
+    b1 AS (
+      SELECT CAST(-event_id - 100 AS BIGINT) AS event_id, ts
+      FROM events WHERE ts IS NOT NULL AND user_id % 10 = 0
+      UNION ALL SELECT CAST(-2 AS BIGINT), a - INTERVAL 6 HOUR - INTERVAL 30 MINUTE FROM anchor
+      UNION ALL SELECT CAST(-3 AS BIGINT), a - INTERVAL 6 HOUR - INTERVAL 5 MINUTE FROM anchor
+      UNION ALL SELECT CAST(-4 AS BIGINT), a - INTERVAL 6 HOUR + INTERVAL 30 MINUTE FROM anchor
+      UNION ALL SELECT CAST(-5 AS BIGINT), a - INTERVAL 6 HOUR + INTERVAL 45 MINUTE FROM anchor
+      UNION ALL SELECT CAST(-6 AS BIGINT), a - INTERVAL 6 HOUR + INTERVAL 90 MINUTE FROM anchor
+      UNION ALL SELECT CAST(-7 AS BIGINT), a - INTERVAL 6 HOUR - INTERVAL 90 MINUTE FROM anchor
+      UNION ALL SELECT CAST(-8 AS BIGINT), a + INTERVAL 17 HOUR + INTERVAL 30 MINUTE FROM anchor
+      UNION ALL SELECT CAST(-9 AS BIGINT), a + INTERVAL 24 HOUR FROM anchor
+    ),
+    kept1 AS (
+      SELECT event_id, ts FROM b1, anchor
+      WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR > a - INTERVAL 6 HOUR
+    ),
+    unioned AS (
+      SELECT event_id, ts FROM b0all
+      UNION ALL SELECT event_id, ts FROM kept1
+    ),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS window_start,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(event_id) AS BIGINT) AS sum_ids
+      FROM unioned GROUP BY 1
+    )
+    SELECT window_start, n_rows, sum_ids FROM agg, anchor
+    WHERE window_start + INTERVAL 1 HOUR <= a + INTERVAL 18 HOUR
+    """,
+)
+def streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WATERMARK LATE-DROP contract, oracle-pinned — the one §2.9
+    streaming class every prior round left deliberately vacuous
+    (complete-mode runs never drop; CLAUDE.md "known remaining
+    vacuities"). Determinism comes from the staged-batch harness the
+    ingest crash-replay row proved out (q_llm.py ingest_replay_
+    idempotence): two mtime-ordered source files + maxFilesPerTrigger=1
+    make the batch sequence — and therefore the watermark trajectory —
+    reproducible, so the dropped-late set is a pure function of the
+    shared events table and the oracle can unroll it analytically.
+
+    MEASURED Spark semantics this query pins (3-file experiment,
+    progress-log numRowsDroppedByWatermark): the late-record filter of
+    batch N uses the watermark of the PREVIOUS trigger (a late row
+    arriving in the same batch where the watermark first jumps is still
+    MERGED — eviction at that batch's end uses the new value), and the
+    filter predicate is window.end <= wm (a window ending exactly AT
+    the watermark is dropped). Hence THREE staged batches: batch 0
+    carries a 20% sample of events plus a planted hour-aligned anchor
+    row 8h past the data (event_id -1), so the post-batch-0 watermark
+    is EXACTLY anchor - 6h =: W (hour-aligned by construction — the
+    boundary classes are observable at all). Batch 1 is a single
+    marker row (-4, W+30min): it neither drops nor advances W, but it
+    burns the one-trigger filter lag, so batch 2's late rows face
+    filter watermark W. Batch 2 redelivers half the batch-0 sample
+    late (every clone's window now ends below W -> dropped) plus
+    planted rows from the same anchor arithmetic straddling every
+    boundary: windows ending exactly AT W (-2, -3 — dropped, the <=
+    filter class), just above (-5, -6 — kept, merging with the -4
+    marker's live window), well below (-7 — dropped), a window ending
+    exactly at the FINAL watermark (-8 — pins the eviction boundary),
+    and a far-future driver (-9) that advances the final watermark to
+    anchor+18h so availableNow's closing no-data batch flushes every
+    settled window while -9's own window stays open and unemitted
+    (append mode withholds it). Every class is non-empty by
+    construction (tests/test_fixture_vitality.py) and the oracle
+    encodes the same arithmetic, so a Spark-side change in the filter
+    lag, the filter boundary, or the eviction boundary flips the
+    value hash.
+
+    Scale shape: one watermarked tumbling-window aggregation (partial
+    agg per batch, state keyed by window) — the standard unbounded
+    pattern; state is O(open windows), eviction bounded by the
+    watermark. Staging writes a 20% and a 10% events sample plus a
+    one-row marker file (coalesce(1) per batch file by the determinism
+    contract — the documented harness cost, small at every gate SF)."""
+    import time as _time  # noqa: PLC0415
+    from datetime import timedelta  # noqa: PLC0415
+    from glob import glob as _glob  # noqa: PLC0415
+
+    from ..sources.lake import load_table  # noqa: PLC0415
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    b0 = ev.where(F.col("user_id") % 5 == 0).select("event_id", "ts")
+    h0 = b0.agg(F.date_trunc("hour", F.max("ts")).alias("h")).collect()[0]["h"]
+    a = h0 + timedelta(hours=8)
+    wm = a - timedelta(hours=6)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    b0all = b0.unionByName(spark.createDataFrame([(-1, a)], schema))
+    clones = ev.where(F.col("user_id") % 10 == 0).select(
+        (-F.col("event_id") - 100).alias("event_id"), "ts"
+    )
+    marker = spark.createDataFrame([(-4, wm + timedelta(minutes=30))], schema)
+    planted2 = spark.createDataFrame(
+        [
+            (-2, wm - timedelta(minutes=30)),
+            (-3, wm - timedelta(minutes=5)),
+            (-5, wm + timedelta(minutes=45)),
+            (-6, wm + timedelta(minutes=90)),
+            (-7, wm - timedelta(minutes=90)),
+            (-8, a + timedelta(hours=17, minutes=30)),
+            (-9, a + timedelta(hours=24)),
+        ],
+        schema,
+    )
+    b2all = clones.unionByName(planted2)
+
+    base = tempfile.mkdtemp(prefix="wm_late_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    try:
+        now = _time.time()
+        for name, df, age_s in (
+            ("b0", b0all, 900),
+            ("b1", marker, 600),
+            ("b2", b2all, 300),
+        ):
+            stage = os.path.join(base, f"stage_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            dst = os.path.join(src, f"{name}.parquet")
+            shutil.move(_glob(f"{stage}/part-*.parquet")[0], dst)
+            # FileStreamSource orders unseen files by modification time
+            # (latestFirst=false): age b0 so it is batch 0.
+            os.utime(dst, (now - age_s, now - age_s))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "6 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("event_id").alias("sum_ids"),
+            )
+        )
+        out = _run_complete(agg, spark, src, mode="append")
+        return out.select(
+            F.col("w.start").alias("window_start"), "n_rows", "sum_ids"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

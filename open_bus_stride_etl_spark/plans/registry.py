@@ -382,6 +382,7 @@ _DEMOTE_LAST = [
     "dedup_ngram_jaccard",  # d3+d8; candidate-pair Jaccard is a stage of the in-window LSH path (slot for mid-r9 package_backfill_invariance)
     "boilerplate_ngrams",  # d3-d8 (6x); shingle-explode corpus-stat family via term_df_top20 (slot for mid-r9 ride_aggregation_ledger_invariance)
     "ts_parse_roundtrip",  # d3-d8 multi-green; F4 ts format/parse round-trip via package_backfill_invariance's CSV cast round-trip (slot for mid-r9 package_hourly_loop_invariance)
+    "streaming_hourly_events",  # d1-d8 multi-green; hourly watermarked tumbling-window agg ⊂ streaming_watermark_late_drop's 3-batch contract (slot for the late-r9 vacuity closure)
 ]
 
 # Auditable coverage ledger (VERDICT r3 item 8): every demoted query
@@ -402,7 +403,7 @@ COVERED_BY = {
     "training_shard_order": "shard_export_invariance",  # shard_shuffle bucket-then-rank contract verified inside
     "streaming_ride_tracker": "streaming_user_first_last",  # keyed stateful streaming tracker family
     "streaming_enriched_events": "streaming_click_purchase_join",  # streaming join family (stream-static ⊂ stream-stream machinery)
-    "streaming_hourly_distinct_users": "streaming_hourly_events",  # hourly event-time windowed aggregation family
+    "streaming_hourly_distinct_users": "streaming_watermark_late_drop",  # hourly event-time windowed aggregation family (repointed late-r9: streaming_hourly_events demoted)
     "group_day_type": "pricing_summary",  # multi-key grouped aggregation family
     "computed_key_join": "code_date_dim_join",  # derived-key equi-join family
     "moving_avg_frame": "quantile_quality_keep",  # window frame aggregate family (repointed r9: running_min demoted)
@@ -431,6 +432,7 @@ COVERED_BY = {
     "dedup_ngram_jaccard": "dedup_minhash_lsh",  # candidate-pair exact Jaccard is the re-rank stage of the LSH pipeline
     "boilerplate_ngrams": "term_df_top20",  # shingle-explode + hash-aggregate corpus-stat family (per-ngram doc counts ⊂ per-term doc counts)
     "ts_parse_roundtrip": "package_backfill_invariance",  # F4 format/parse round-trip: the CSV artifact re-read casts timestamp strings back and re-hashes them
+    "streaming_hourly_events": "streaming_watermark_late_drop",  # same watermarked hourly tumbling-window streaming agg, plus the late-drop/eviction boundary contract
 }
 
 

@@ -225,3 +225,47 @@ def test_shard_export_every_shard_populated(spark, sf_dir):
     rows = registry.queries()["shard_export_invariance"](spark, sf_dir).collect()
     assert len(rows) == 8, rows
     assert min(r["n_docs"] for r in rows) > 0, rows
+
+
+def test_watermark_late_drop_classes_fire(spark):
+    """streaming_watermark_late_drop's boundary classes must all be
+    observable at the driver gate scale: the data-derived dropped-late
+    clones, both watermark-boundary plantings (filter end<=wm drop,
+    eviction end<=final_wm emit), the kept-late rows, and the withheld
+    open window. If any class empties, both engines agree on the
+    degenerate value and the green row stops pinning the contract."""
+    import datetime as dt
+
+    from open_bus_stride_etl_spark.plans import registry
+    from open_bus_stride_etl_spark.sources.lake import load_table
+
+    sf = PKG_SF_DIR
+    ev = load_table(spark, sf, "events").where(F.col("ts").isNotNull())
+    n_b0 = ev.where(F.col("user_id") % 5 == 0).count()
+    n_clones = ev.where(F.col("user_id") % 10 == 0).count()
+    assert n_clones > 0  # the data-derived dropped-late class is non-empty
+    h0 = (
+        ev.where(F.col("user_id") % 5 == 0)
+        .agg(F.date_trunc("hour", F.max("ts")).alias("h"))
+        .first()["h"]
+    )
+    a = h0 + dt.timedelta(hours=8)
+    w = a - dt.timedelta(hours=6)
+    out = (
+        registry.queries()["streaming_watermark_late_drop"](spark, sf)
+        .toPandas()
+        .set_index("window_start")
+    )
+    # filter boundary: the window ending exactly AT the watermark holds
+    # only the planted -2/-3 rows, both dropped -> window absent
+    assert w - dt.timedelta(hours=1) not in out.index
+    # kept-late class fires (marker -4 merged with late-but-live -5)
+    assert out.loc[w].n_rows == 2 and out.loc[w].sum_ids == -9
+    assert out.loc[w + dt.timedelta(hours=1)].sum_ids == -6
+    # eviction boundary: window ending exactly at the final watermark emitted
+    assert out.loc[a + dt.timedelta(hours=17)].sum_ids == -8
+    # append mode withholds the far-future driver's still-open window
+    assert a + dt.timedelta(hours=24) not in out.index
+    # exact ledger: batch-0 sample + anchor + the four kept plantings,
+    # nothing more (every clone and the -2/-3/-7 plantings dropped)
+    assert out.n_rows.sum() == n_b0 + 5
