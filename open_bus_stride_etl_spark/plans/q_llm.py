@@ -911,6 +911,129 @@ def corpus_clean_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_MULTILINGUAL_SRC = """src0 AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 23 = 0 THEN repeat(' el la de y', 12)
+                      WHEN doc_id % 29 = 0 THEN repeat(' der die und ist', 12)
+                      WHEN doc_id % 37 = 0 THEN repeat(' le et est', 12)
+                      WHEN doc_id % 41 = 0
+                        THEN repeat(' el y', 12) || repeat(' der ist', 12)
+                      ELSE '' END AS text
+  FROM documents
+),
+mx AS (SELECT MAX(doc_id) AS m FROM documents),
+src AS (
+  SELECT doc_id, text FROM src0
+  UNION ALL
+  SELECT s.doc_id + x.m + 1 AS doc_id, s.text
+  FROM src0 s, mx x WHERE s.doc_id % 53 = 2
+)"""
+
+
+@query(
+    "corpus_clean_verdicts",
+    "WITH " + _SQL_MULTILINGUAL_SRC + ", "
+    + _SQL_SHINGLES.replace("FROM documents", "FROM src") + ", "
+    + _SQL_MINHASH + ", " + _SQL_BUCKETS + ","
+    """
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    """ + _SQL_JACCARD + f""",
+    nd AS (SELECT DISTINCT j.doc_b FROM jac j
+           JOIN cand c ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+           WHERE j.jaccard_bp >= 5000),
+    scored AS (
+      SELECT doc_id, {_SQL_QUALITY} AS quality_bp,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             {_SQL_LANG_SCORES}
+      FROM src
+    ),
+    langed AS (SELECT doc_id, quality_bp, fp, {_SQL_LANG_CASE} AS predicted_lang FROM scored),
+    k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS min_id FROM langed)
+    SELECT k.doc_id, k.quality_bp, k.predicted_lang,
+           CASE WHEN k.quality_bp < 2000 THEN 'quality'
+                WHEN k.predicted_lang NOT IN ('en', 'und') THEN 'lang'
+                WHEN k.doc_id <> k.min_id THEN 'exact_dup'
+                WHEN nd.doc_b IS NOT NULL THEN 'near_dup'
+                ELSE 'keep' END AS verdict
+    FROM k LEFT JOIN nd ON nd.doc_b = k.doc_id
+    """,
+)
+def corpus_clean_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation OUTCOME LEDGER over a multilingual-planted corpus —
+    closes the last pre-declared vacuity (CLAUDE.md): corpus_clean_keep's
+    lang gate never dropped a document because the generator vocabulary
+    is English-only, so both engines agreed on a branch that never
+    fired. Here the lang_id suffix derivation (the late-r9 planting,
+    same arithmetic in both engines) is threaded through the ENTIRE
+    clean-keep pipeline — the shingle/MinHash/LSH oracle chain is
+    re-anchored onto the derived corpus (``_SQL_SHINGLES`` with its
+    source CTE swapped to ``src``) — and instead of emitting survivors
+    the query emits every document with its verdict: 'quality',
+    'lang', 'exact_dup', 'near_dup' (CASE precedence pinned in that
+    order, cross-engine), or 'keep'. The planted es/de/fr suffixes
+    guarantee the 'lang' verdict is non-empty by construction, and —
+    because the shared corpus plants only PREFIX duplicates, which the
+    full-text fingerprint cannot see — the 'exact_dup' class is made
+    non-vacuous the same way: every doc_id % 53 = 2 document is cloned
+    (post-suffix, so the fingerprints match exactly) under
+    max(doc_id)+1+doc_id, putting the clone on the non-keeper side.
+    tests/test_fixture_vitality.py asserts all five verdict classes
+    fire at the gate scale.
+
+    Scale shape: identical to corpus_clean_keep — one shared scan,
+    column-expression scoring (codegen), the occupancy-guarded LSH
+    candidate equi-join (never all-pairs), plus one broadcast-size
+    left join against the near-dup loser set."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    d0 = _docs(spark, sf_dir)
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 23 == 0, F.repeat(F.lit(" el la de y"), 12))
+        .when(F.col("doc_id") % 29 == 0, F.repeat(F.lit(" der die und ist"), 12))
+        .when(F.col("doc_id") % 37 == 0, F.repeat(F.lit(" le et est"), 12))
+        .when(
+            F.col("doc_id") % 41 == 0,
+            F.concat(
+                F.repeat(F.lit(" el y"), 12), F.repeat(F.lit(" der ist"), 12)
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    src0 = d0.select("doc_id", t.alias("text"))
+    max_id = d0.agg(F.max("doc_id")).collect()[0][0]  # control-plane scalar
+    clones = src0.where(F.col("doc_id") % 53 == 2).select(
+        (F.col("doc_id") + F.lit(max_id + 1)).alias("doc_id"), "text"
+    )
+    d = src0.unionByName(clones)
+    base = d.select(
+        "doc_id",
+        tx.quality_score_bp(F.col("text")).alias("quality_bp"),
+        tx.lang_id(F.col("text")).alias("predicted_lang"),
+        tx.doc_fingerprint(F.col("text")).alias("fp"),
+    ).withColumn("min_id", F.min("doc_id").over(Window.partitionBy("fp")))
+    nd = (
+        dd.minhash_lsh_pairs(d)
+        .where(F.col("jaccard_bp") >= 5000)
+        .select("doc_b")
+        .distinct()
+    )
+    return base.join(nd, base["doc_id"] == nd["doc_b"], "left").select(
+        "doc_id",
+        "quality_bp",
+        "predicted_lang",
+        F.when(F.col("quality_bp") < 2000, F.lit("quality"))
+        .when(~F.col("predicted_lang").isin("en", "und"), F.lit("lang"))
+        .when(F.col("doc_id") != F.col("min_id"), F.lit("exact_dup"))
+        .when(F.col("doc_b").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Curation: per-group quantile quality filter + source balancing
 # (operators/curation.py) — the corpus-mixing stage of a training pipeline.

@@ -383,6 +383,7 @@ _DEMOTE_LAST = [
     "boilerplate_ngrams",  # d3-d8 (6x); shingle-explode corpus-stat family via term_df_top20 (slot for mid-r9 ride_aggregation_ledger_invariance)
     "ts_parse_roundtrip",  # d3-d8 multi-green; F4 ts format/parse round-trip via package_backfill_invariance's CSV cast round-trip (slot for mid-r9 package_hourly_loop_invariance)
     "streaming_hourly_events",  # d1-d8 multi-green; hourly watermarked tumbling-window agg ⊂ streaming_watermark_late_drop's 3-batch contract (slot for the late-r9 vacuity closure)
+    "corpus_clean_keep",  # d6-d8 multi-green; the identical quality∧lang∧exact∧LSH composition runs in corpus_clean_verdicts over the planted corpus, which additionally pins every drop branch (slot for the late-r9 lang-drop vacuity closure)
 ]
 
 # Auditable coverage ledger (VERDICT r3 item 8): every demoted query
@@ -413,7 +414,7 @@ COVERED_BY = {
     "content_hash": "compact_roundtrip_hash",  # F14 order-insensitive content hash computed in-query there (same row_md5/hex_to_long kernel)
     "reservoir_per_user": "balanced_corpus",  # md5-bucket membership core (repointed r9: stratified_sample_counts demoted)
     "packed_batches": "doc_chunks",  # chunking/packing family (posexplode map-local windows)
-    "text_quality": "corpus_clean_keep",  # quality_score_bp + lang_id gate the in-window curation capstone
+    "text_quality": "corpus_clean_verdicts",  # quality_score_bp + lang_id gate the in-window curation outcome ledger (repointed late-r9)
     "kmeans_assign": "ann_ivf_persisted_topk",  # kmeans_fit trains the persisted IVF index in-query
     "sort_nulls_last_topk": "topk_recent",  # order-by + limit top-k; NULLS LAST ordering keys also in first_last_durations
     # r9 demotions:
@@ -427,12 +428,13 @@ COVERED_BY = {
     "dedup_incremental": "streaming_dedup_lsh",  # seen-index probe join (exact anti-join ⊂ band-bucket probe; also run by curate_incremental_noop's task)
     "dedup_exact_groups": "split_leakage_check",  # exact-fingerprint components (fingerprint -> min-doc_id groupBy) built in-query there
     "stratified_sample_counts": "balanced_corpus",  # salted md5-bucket membership streams
-    "lang_id": "corpus_clean_keep",  # lang-id gate runs in-query in the curation capstone
-    "doc_fingerprints": "corpus_clean_keep",  # fingerprint scan runs in-query there (and feeds curate_incremental_noop's seen index)
+    "lang_id": "corpus_clean_verdicts",  # lang-id gate runs in-query in the outcome ledger, lang-drop branch planted (repointed late-r9)
+    "doc_fingerprints": "corpus_clean_verdicts",  # fingerprint scan + exact-dup keeper run in-query there (and feed curate_incremental_noop's seen index; repointed late-r9)
     "dedup_ngram_jaccard": "dedup_minhash_lsh",  # candidate-pair exact Jaccard is the re-rank stage of the LSH pipeline
     "boilerplate_ngrams": "term_df_top20",  # shingle-explode + hash-aggregate corpus-stat family (per-ngram doc counts ⊂ per-term doc counts)
     "ts_parse_roundtrip": "package_backfill_invariance",  # F4 format/parse round-trip: the CSV artifact re-read casts timestamp strings back and re-hashes them
     "streaming_hourly_events": "streaming_watermark_late_drop",  # same watermarked hourly tumbling-window streaming agg, plus the late-drop/eviction boundary contract
+    "corpus_clean_keep": "corpus_clean_verdicts",  # same four-gate curation pipeline; the ledger variant plants every drop class (lang/exact_dup non-vacuous) and pins the CASE precedence
 }
 
 

@@ -269,3 +269,26 @@ def test_watermark_late_drop_classes_fire(spark):
     # exact ledger: batch-0 sample + anchor + the four kept plantings,
     # nothing more (every clone and the -2/-3/-7 plantings dropped)
     assert out.n_rows.sum() == n_b0 + 5
+
+
+def test_corpus_clean_verdict_classes_all_fire(spark):
+    """corpus_clean_verdicts must exercise every curation outcome at
+    the driver gate scale — 'lang' via the planted es/de/fr suffixes
+    (each language individually), 'exact_dup' via the planted
+    full-text clones, plus data-carried 'quality'/'near_dup'/'keep'.
+    An empty class means both engines agree on a branch that never
+    fires and the green row stops pinning it."""
+    from open_bus_stride_etl_spark.plans import registry
+
+    out = registry.queries()["corpus_clean_verdicts"](spark, PKG_SF_DIR)
+    counts = {r["verdict"]: r["n"] for r in out.groupBy("verdict").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    for cls in ("keep", "quality", "lang", "exact_dup", "near_dup"):
+        assert 0 < counts.get(cls, 0) < total, (cls, counts)
+    langs = {
+        r["predicted_lang"]
+        for r in out.where(F.col("verdict") == "lang")
+        .select("predicted_lang").distinct().collect()
+    }
+    assert {"es", "de", "fr"} <= langs, langs
