@@ -913,13 +913,17 @@ def corpus_clean_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_MULTILINGUAL_SRC = """src0 AS (
   SELECT doc_id,
-         text || CASE WHEN doc_id % 23 = 0 THEN repeat(' el la de y', 12)
-                      WHEN doc_id % 29 = 0 THEN repeat(' der die und ist', 12)
-                      WHEN doc_id % 37 = 0 THEN repeat(' le et est', 12)
+         text || CASE WHEN doc_id % 23 = 0
+                        THEN repeat(' ' || i || ' el ' || i || ' la ' || i || ' de ' || i || ' y', 12)
+                      WHEN doc_id % 29 = 0
+                        THEN repeat(' ' || i || ' der ' || i || ' die ' || i || ' und ' || i || ' ist', 12)
+                      WHEN doc_id % 37 = 0
+                        THEN repeat(' ' || i || ' le ' || i || ' et ' || i || ' est', 12)
                       WHEN doc_id % 41 = 0
-                        THEN repeat(' el y', 12) || repeat(' der ist', 12)
+                        THEN repeat(' ' || i || ' el ' || i || ' y', 12)
+                          || repeat(' ' || i || ' der ' || i || ' ist', 12)
                       ELSE '' END AS text
-  FROM documents
+  FROM (SELECT doc_id, text, CAST(doc_id AS VARCHAR) AS i FROM documents)
 ),
 mx AS (SELECT MAX(doc_id) AS m FROM documents),
 src AS (
@@ -986,19 +990,37 @@ def corpus_clean_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to corpus_clean_keep — one shared scan,
     column-expression scoring (codegen), the occupancy-guarded LSH
     candidate equi-join (never all-pairs), plus one broadcast-size
-    left join against the near-dup loser set."""
+    left join against the near-dup loser set. The suffix cycles
+    INTERLEAVE the doc_id token so every planted shingle is
+    doc-unique — the first draft repeated identical word cycles and
+    at sf10 the short docs of each lang class collapsed into shared
+    LSH buckets (157.3M candidate pairs vs the raw corpus's 167k,
+    max bucket 8,816 — the CLAUDE.md fixed-key-space failure class,
+    reproduced in-query and caught by the bucket-occupancy probe);
+    with the id interleaved the planting's key space grows with the
+    corpus and candidates stay occupancy-bound (lang scores are
+    unaffected: the profile regex counts words regardless of
+    neighboring number tokens)."""
     from pyspark.sql import Window  # noqa: PLC0415
 
     d0 = _docs(spark, sf_dir)
+    i = F.col("doc_id").cast("string")
+
+    def _cycle(*words: str):
+        parts = []
+        for w in words:
+            parts.extend([F.lit(" "), i, F.lit(" " + w)])
+        return F.concat(*parts)
+
     t = F.concat(
         F.col("text"),
-        F.when(F.col("doc_id") % 23 == 0, F.repeat(F.lit(" el la de y"), 12))
-        .when(F.col("doc_id") % 29 == 0, F.repeat(F.lit(" der die und ist"), 12))
-        .when(F.col("doc_id") % 37 == 0, F.repeat(F.lit(" le et est"), 12))
+        F.when(F.col("doc_id") % 23 == 0, F.repeat(_cycle("el", "la", "de", "y"), 12))
+        .when(F.col("doc_id") % 29 == 0, F.repeat(_cycle("der", "die", "und", "ist"), 12))
+        .when(F.col("doc_id") % 37 == 0, F.repeat(_cycle("le", "et", "est"), 12))
         .when(
             F.col("doc_id") % 41 == 0,
             F.concat(
-                F.repeat(F.lit(" el y"), 12), F.repeat(F.lit(" der ist"), 12)
+                F.repeat(_cycle("el", "y"), 12), F.repeat(_cycle("der", "ist"), 12)
             ),
         )
         .otherwise(F.lit("")),
