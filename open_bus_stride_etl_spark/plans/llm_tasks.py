@@ -98,6 +98,7 @@ def llm_curate_corpus(
     # interleaved A/B x3) — see bloom.py's docstring for the full
     # verdict and the narrow amortized-bitset niche where it can win.
     n_seen_dropped = 0
+    n_remaining = None  # unknown until the incremental branch counts it
     if history_dir is not None:
         import os  # noqa: PLC0415
 
@@ -111,25 +112,42 @@ def llm_curate_corpus(
             # keeper already passed) — the operationally meaningful count.
             # A whole fp-group drops together (same fingerprint = same
             # seen verdict), so keeper semantics stay consistent.
-            n_seen_dropped = flags["n_after_exact"] - scored.where(
-                ok_quality & ok_lang & keeper
-            ).count()
+            n_remaining = scored.where(ok_quality & ok_lang & keeper).count()
+            n_seen_dropped = flags["n_after_exact"] - n_remaining
 
-    near_dup_losers = (
-        dd.minhash_lsh_pairs(docs)
-        .where(F.col("jaccard_bp") >= jaccard_min_bp)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
-    survivors = (
-        scored.where(ok_quality & ok_lang & keeper)
-        .join(near_dup_losers, on="doc_id", how="left_anti")
-        .drop("_quality_bp", "_lang", "_fp", "_min_id")
-    )
+    kept = scored.where(ok_quality & ok_lang & keeper)
+    if n_remaining == 0:
+        # Incremental no-op fast path (r9): the seen-index anti-join left
+        # ZERO would-be survivors, so near-dup loser pruning — the whole
+        # MinHash-LSH pipeline, the task's most expensive stage — cannot
+        # change the (empty) result: an anti-join FROM an empty left side
+        # is empty by definition. Skip building it. The steady-state
+        # daily re-crawl run costs one scoring pass + one anti-join
+        # instead of re-LSH-ing the corpus for nothing.
+        survivors = kept.drop("_quality_bp", "_lang", "_fp", "_min_id")
+    else:
+        near_dup_losers = (
+            dd.minhash_lsh_pairs(docs)
+            .where(F.col("jaccard_bp") >= jaccard_min_bp)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        survivors = kept.join(near_dup_losers, on="doc_id", how="left_anti").drop(
+            "_quality_bp", "_lang", "_fp", "_min_id"
+        )
     out = out_dir or f"{base_dir}/curated_documents"
-    survivors.write.mode("overwrite").parquet(out)
-    n_final = spark.read.parquet(out).count()
-    if history_dir is not None:
+    # n_final rides the write job via the Observation API (the
+    # csv_package.write_package pattern) instead of a read-back count.
+    from pyspark.sql import Observation  # noqa: PLC0415
+
+    obs = Observation()
+    survivors.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(out)
+    n_final = obs.get["n"]
+    if history_dir is not None and n_final > 0:
+        # (an empty run appends nothing — skip the no-op job; the index
+        # CONTENT is identical either way)
         import os  # noqa: PLC0415
 
         os.makedirs(history_dir, exist_ok=True)

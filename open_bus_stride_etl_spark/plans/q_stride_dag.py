@@ -118,7 +118,11 @@ def _build_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
       reference's dropped-row filter in the nearest-location pass)
     """
     epoch = F.lit(EPOCH).cast("timestamp")
-    src = _rides_src(spark, sf_dir)
+    # One events scan for the whole build: four of the table writes
+    # derive from `src`, and without the checkpoint each write re-runs
+    # the events scan + filter + interval arithmetic (guide §2.4: remove
+    # repeated passes). The checkpointed frame is 3 narrow columns.
+    src = _rides_src(spark, sf_dir).localCheckpoint(eager=True)
 
     _write_table(
         src.select(
@@ -609,10 +613,12 @@ def _build_packager_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
     epoch = F.lit(EPOCH).cast("timestamp")
     rid = (F.col("event_id") / 50).cast("long").alias("rid")
     src = ev.where(F.col("event_id") % 50 == 0).select(rid)
+    # One events scan for the whole build (three table writes derive
+    # from `rides`; guide §2.4): checkpoint the 2-column frame once.
     rides = src.select(
         "rid",
         (epoch + F.make_interval(hours=(F.col("rid") % 48).cast("int"))).alias("sched"),
-    )
+    ).localCheckpoint(eager=True)
 
     _write_table(
         rides.select(
@@ -866,6 +872,8 @@ def _build_gtfs_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
     epoch = F.lit(EPOCH).cast("timestamp")
     gid = (F.col("event_id") / 25).cast("long").alias("gid")
     g0 = ev.where(F.col("event_id") % 25 == 0).select(gid)
+    # Checkpointed once: both gtfs_ride and gtfs_ride_stop derive from
+    # `rides` (one events scan instead of two; guide §2.4).
     rides = g0.select(
         "gid",
         (F.col("gid") % 10).alias("day"),
@@ -881,7 +889,7 @@ def _build_gtfs_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
             ((F.col("gid") % 10 == 3) & (F.col("gid") % 4 == 1))
             | ((F.col("gid") % 10 != 3) & (F.col("gid") % 67 == 0))
         ).alias("stopless"),
-    )
+    ).localCheckpoint(eager=True)
     _write_table(
         spark.range(10)
         .select(F.col("id").alias("d"))

@@ -42,13 +42,16 @@ def _nonnull(df: DataFrame, col: str) -> int:
 def _write_and_count(
     spark: SparkSession, out: DataFrame, base_dir: str, name: str, col: str, n_before: int
 ) -> tuple[int, int]:
-    """Write the new snapshot, then derive the 'rows updated' metric from
-    the WRITTEN table (one plan execution total). Counting on the unwritten
-    plan would execute the whole enrichment twice — once for the metric,
-    once for the write. Returns (rows, newly_set)."""
-    rows = lake.overwrite_table(out, base_dir, name)
-    n_after = _nonnull(lake.read_table(spark, base_dir, name), col)
-    return rows, n_after - n_before
+    """Write the new snapshot with the 'rows updated' metric observed IN
+    the write job (Observation API — one plan execution total, r9).
+    Counting on the unwritten plan would execute the whole enrichment
+    twice; the pre-r9 shape (write, then re-read the written table to
+    count non-nulls) paid an extra scan per task. Returns
+    (rows, newly_set)."""
+    m = lake.overwrite_table_observed(
+        out, base_dir, name, metrics={"n_after": F.count(F.col(col))}
+    )
+    return m["rows"], m["n_after"] - n_before
 
 
 @task("siri-add-ride-durations", cadence="hourly", num_days=4)

@@ -136,7 +136,8 @@ def write_package(
     out_dir: str,
     base_name: str,
     precomputed: tuple[int, int] | None = None,
-) -> dict:
+    empty_is_noop: bool = False,
+) -> dict | None:
     """Write `{base_name}.csv` + `{base_name}-metadata.json` under
     ``out_dir``. Returns the manifest dict (schema, row count, hash).
 
@@ -144,7 +145,10 @@ def write_package(
     count ride along with the CSV write as observed metrics instead of
     running as separate jobs. ``precomputed`` lets a caller that already
     aggregated (hash, count) — e.g. publish_if_changed's skip check —
-    avoid even the observation arithmetic."""
+    avoid even the observation arithmetic. ``empty_is_noop`` returns
+    None WITHOUT creating any artifact when the observed row count is 0
+    (publish_if_changed's 'empty' contract for never-published hours —
+    the check rides the same single execution)."""
     os.makedirs(out_dir, exist_ok=True)
     obs = None
     to_write = df
@@ -162,6 +166,8 @@ def write_package(
         # artifact. A cluster deployment with huge packages would keep
         # the sharded layout and zip per shard instead.
         to_write.write.mode("overwrite").option("header", True).csv(tmp)
+        if empty_is_noop and (precomputed or (0, obs.get["n"]))[1] == 0:
+            return None  # nothing published; tmp shards removed below
         parts = sorted(glob.glob(os.path.join(tmp, "part-*.csv")))
         csv_path = os.path.join(out_dir, f"{base_name}.csv")
         with open(csv_path, "wb") as out:
@@ -226,20 +232,30 @@ def publish_if_changed(df: DataFrame, out_dir: str, base_name: str, zip_it: bool
     matches (packagers/siri.py:194-202); an hour with no rows and no
     prior package is a no-op ('empty'), so the hour sweep and the
     one-job backfill (which only sees hours that have data) agree.
-    TWO Spark executions worst case (hash-check aggregation + observed
-    write), ONE when skipped.
+    ONE Spark execution for never-published targets (the hash/count
+    rides the write job as observed metrics — a prior manifest is the
+    only thing a skip can compare against, so without one the pre-write
+    hash-check pass was pure duplicate work; r9) and when skipped; TWO
+    only for the updated path (hash-check aggregation + observed write).
     Returns {status: created|updated|skipped|empty, hash, row_count}."""
     existing = read_manifest(out_dir, base_name)
-    chash, n = content_hash_and_count(df)
-    if existing is not None and existing.get("hash") == chash:
-        return {
-            "status": "skipped",
-            "hash": chash,
-            "row_count": manifest_row_count(existing),
-        }
-    if existing is None and n == 0:
-        return {"status": "empty", "hash": chash, "row_count": 0}
-    manifest = write_package(df, out_dir, base_name, precomputed=(chash, n))
+    if existing is None:
+        # An empty frame publishes nothing (write_package returns None
+        # before stitching; the observed hash of an empty set is 0+0).
+        manifest = write_package(df, out_dir, base_name, empty_is_noop=True)
+        if manifest is None:
+            return {"status": "empty", "hash": 0, "row_count": 0}
+        status = "created"
+    else:
+        chash, n = content_hash_and_count(df)
+        if existing.get("hash") == chash:
+            return {
+                "status": "skipped",
+                "hash": chash,
+                "row_count": manifest_row_count(existing),
+            }
+        manifest = write_package(df, out_dir, base_name, precomputed=(chash, n))
+        status = "updated"
     if zip_it:
         zpath = os.path.join(out_dir, f"{base_name}.zip")
         with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED, compresslevel=9) as zf:
@@ -249,7 +265,7 @@ def publish_if_changed(df: DataFrame, out_dir: str, base_name: str, zip_it: bool
                 f"{base_name}-metadata.json",
             )
     return {
-        "status": "created" if existing is None else "updated",
+        "status": status,
         "hash": manifest["hash"],
         "row_count": manifest_row_count(manifest),
     }

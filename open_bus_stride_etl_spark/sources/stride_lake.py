@@ -17,7 +17,8 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from . import fs
 
@@ -58,11 +59,30 @@ def overwrite_table(df: DataFrame, base_dir: str, name: str) -> int:
     Single-writer semantics (one scheduler per task), like the reference's
     per-task Airflow DAGs.
     """
+    return overwrite_table_observed(df, base_dir, name)["rows"]
+
+
+def overwrite_table_observed(
+    df: DataFrame, base_dir: str, name: str, metrics: dict[str, Column] | None = None
+) -> dict:
+    """``overwrite_table`` with the row count — and any extra aggregate
+    ``metrics`` — computed via the Observation API IN the write job
+    itself (the csv_package.write_package pattern), instead of
+    re-reading the written files. One plan execution per snapshot swap;
+    the pre-r9 read-back count was a whole extra scan per task write,
+    and task metrics like "rows newly set" paid yet another
+    (`stride_tasks._write_and_count`). Returns ``{"rows": n, **metrics}``.
+    """
     spark = df.sparkSession
     final = table_path(base_dir, name)
     tmp = f"{final}.tmp-{int(time.time() * 1000)}"
-    df.write.mode("overwrite").parquet(tmp)
-    n = spark.read.parquet(tmp).count()
+    obs = Observation()
+    aggs = [F.count(F.lit(1)).alias("_rows")] + [
+        c.alias(k) for k, c in (metrics or {}).items()
+    ]
+    df.observe(obs, *aggs).write.mode("overwrite").parquet(tmp)
+    vals = dict(obs.get)
+    n = vals.pop("_rows")
     old = f"{final}.old-{int(time.time() * 1000)}"
     # Hadoop FileSystem.rename reports failure by RETURNING false (not
     # raising); an unchecked false here would nest tmp inside the still-
@@ -73,4 +93,4 @@ def overwrite_table(df: DataFrame, base_dir: str, name: str) -> int:
     if not fs.rename(tmp, final, spark):
         raise OSError(f"snapshot swap failed: could not move {tmp} -> {final}")
     fs.delete(old, spark)
-    return n
+    return {"rows": n, **vals}
