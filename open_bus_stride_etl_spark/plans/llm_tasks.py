@@ -79,11 +79,6 @@ def llm_curate_corpus(
     ok_quality = F.col("_quality_bp") >= quality_min_bp
     ok_lang = F.col("_lang").isin(allow)
     keeper = F.col("doc_id") == F.col("_min_id")
-    flags = scored.agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.count(F.when(ok_quality & ok_lang, 1)).alias("n_quality_lang"),
-        F.count(F.when(ok_quality & ok_lang & keeper, 1)).alias("n_after_exact"),
-    ).collect()[0]
 
     # Incremental mode (the daily-crawl shape, same contract as the
     # dedup_incremental query): drop any document whose fingerprint is
@@ -97,23 +92,49 @@ def llm_curate_corpus(
     # it 12x slower than Spark's native AQE anti-join (2.4 s vs 29 s,
     # interleaved A/B x3) — see bloom.py's docstring for the full
     # verdict and the narrow amortized-bitset niche where it can win.
-    n_seen_dropped = 0
-    n_remaining = None  # unknown until the incremental branch counts it
+    seen = None
     if history_dir is not None:
         import os  # noqa: PLC0415
 
         seen_path = f"{history_dir}/seen_fingerprints.parquet"
         if os.path.isdir(seen_path):
             seen = spark.read.parquet(seen_path)
-            scored = scored.join(
-                seen.select(F.col("fingerprint").alias("_fp")), on="_fp", how="left_anti"
-            )
-            # dropped-as-seen among the WOULD-BE survivors (quality/lang/
-            # keeper already passed) — the operationally meaningful count.
-            # A whole fp-group drops together (same fingerprint = same
-            # seen verdict), so keeper semantics stay consistent.
-            n_remaining = scored.where(ok_quality & ok_lang & keeper).count()
-            n_seen_dropped = flags["n_after_exact"] - n_remaining
+
+    # ONE aggregation pass computes every pre-LSH metric (r9; the
+    # pre-change shape ran the scoring scan + fingerprint window once
+    # for the counters and AGAIN for the seen-survivor count). The seen
+    # verdict joins as a nullable flag (left join on DISTINCT index
+    # fingerprints — distinct because appends may repeat a fingerprint
+    # across runs, and a duplicate-key left join would duplicate rows;
+    # a whole fp-group drops together, so keeper semantics stay
+    # consistent either way).
+    fl = scored
+    seen_flag = F.lit(False)
+    if seen is not None:
+        fl = scored.join(
+            seen.select(F.col("fingerprint").alias("_fp")).distinct().withColumn(
+                "_seen", F.lit(1)
+            ),
+            on="_fp",
+            how="left",
+        )
+        seen_flag = F.col("_seen").isNotNull()
+    flags = fl.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(ok_quality & ok_lang, 1)).alias("n_quality_lang"),
+        F.count(F.when(ok_quality & ok_lang & keeper, 1)).alias("n_after_exact"),
+        F.count(F.when(ok_quality & ok_lang & keeper & ~seen_flag, 1)).alias(
+            "n_remaining"
+        ),
+    ).collect()[0]
+    n_remaining = flags["n_remaining"] if seen is not None else None
+    n_seen_dropped = (
+        flags["n_after_exact"] - n_remaining if seen is not None else 0
+    )
+    if seen is not None:
+        scored = scored.join(
+            seen.select(F.col("fingerprint").alias("_fp")), on="_fp", how="left_anti"
+        )
 
     kept = scored.where(ok_quality & ok_lang & keeper)
     if n_remaining == 0:
@@ -121,10 +142,15 @@ def llm_curate_corpus(
         # ZERO would-be survivors, so near-dup loser pruning — the whole
         # MinHash-LSH pipeline, the task's most expensive stage — cannot
         # change the (empty) result: an anti-join FROM an empty left side
-        # is empty by definition. Skip building it. The steady-state
-        # daily re-crawl run costs one scoring pass + one anti-join
-        # instead of re-LSH-ing the corpus for nothing.
-        survivors = kept.drop("_quality_bp", "_lang", "_fp", "_min_id")
+        # is empty by definition. Skip building it — and write the empty
+        # artifact as a LITERAL empty frame (the emptiness is already
+        # proven by the aggregation above; re-executing the scoring scan
+        # + window + anti-join just to produce 0 rows was the pre-change
+        # cost). The steady-state daily re-crawl run costs ONE scoring
+        # pass instead of three-plus-LSH.
+        survivors = spark.createDataFrame(
+            [], kept.drop("_quality_bp", "_lang", "_fp", "_min_id").schema
+        )
     else:
         near_dup_losers = (
             dd.minhash_lsh_pairs(docs)
