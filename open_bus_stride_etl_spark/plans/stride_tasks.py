@@ -224,6 +224,112 @@ def gtfs_update_ride_aggregations(spark: SparkSession, base_dir: str):
     return {"dates_processed": len(todo_dates), "dates_ok": len(ok), "dates_failed": len(bad)}
 
 
+def _hour_key(hour: datetime.datetime) -> str:
+    return hour.strftime("%Y-%m-%d.%H")
+
+
+def _flat_export_hourly(
+    spark: SparkSession, base_dir: str, lo: str, hi: str
+) -> DataFrame:
+    """The packager's wide frame over [lo, hi) with an `_hour` label —
+    the shared source of both packager tasks' per-hour hash/write jobs."""
+    return stride.siri_flat_export(
+        lake.read_table(spark, base_dir, "siri_vehicle_location"),
+        lake.read_table(spark, base_dir, "siri_ride_stop"),
+        lake.read_table(spark, base_dir, "siri_ride"),
+        lake.read_table(spark, base_dir, "siri_route"),
+        lake.read_table(spark, base_dir, "siri_stop"),
+        lake.read_table(spark, base_dir, "gtfs_stop"),
+        lo,
+        hi,
+    ).withColumn(
+        "_hour", F.date_format(F.date_trunc("hour", "recorded_at_time"), "yyyy-MM-dd.HH")
+    )
+
+
+def _hour_hashes(wide: DataFrame) -> dict[str, tuple[int, int]]:
+    """ONE aggregation job → {hour_key: (content_hash, row_count)} for
+    every hour present in ``wide``. Hash formula identical to
+    csv_package.write_package's observed metrics (sum of per-row
+    md5-longs + count, order-insensitive)."""
+    from ..functions.hashing import hex_to_long, row_md5  # noqa: PLC0415
+
+    data_cols = [c for c in wide.columns if c != "_hour"]
+    h = hex_to_long(F.substring(row_md5(*[F.col(c) for c in data_cols]), 1, 10))
+    return {
+        r["_hour"]: ((r["h"] or 0) + r["n"], r["n"])
+        for r in wide.groupBy("_hour")
+        .agg(F.sum(h).alias("h"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+def _write_hour_packages(
+    wide: DataFrame,
+    hours: list[str],
+    hashes: dict[str, tuple[int, int]],
+    out_dir: str,
+    zip_it: bool,
+) -> None:
+    """Materialize `{hour}.csv` + manifest (+zip) for every hour in
+    ``hours`` from ONE partitioned CSV write (`repartition("_hour")`
+    routes each hour to exactly one shuffle partition, `partitionBy`
+    yields one directory per hour), then stitch each hour's shards
+    driver-side — the backfill's two-job shape, shared with the hourly
+    sweep so a catch-up sweep does not pay one Spark job per hour.
+    Artifact bytes and manifests are identical to write_package's
+    (same header handling, same manifest builder, same zip params)."""
+    import glob  # noqa: PLC0415
+    import json  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+    import zipfile  # noqa: PLC0415
+
+    from ..sources.csv_package import build_manifest  # noqa: PLC0415
+
+    data_cols = [c for c in wide.columns if c != "_hour"]
+    fields = [
+        {"name": c, "type": wide.schema[c].dataType.simpleString()} for c in data_cols
+    ]
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix="pkg_hours_")
+    try:
+        (
+            wide.where(F.col("_hour").isin(hours))
+            .repartition("_hour")
+            .write.mode("overwrite")
+            .option("header", True)
+            .partitionBy("_hour")
+            .csv(tmp)
+        )
+        for hour in hours:
+            hdir = os.path.join(tmp, f"_hour={hour}")
+            parts = sorted(glob.glob(os.path.join(hdir, "part-*.csv")))
+            csv_path = os.path.join(out_dir, f"{hour}.csv")
+            n_rows = 0
+            with open(csv_path, "wb") as out:
+                out.write((",".join(f["name"] for f in fields) + "\n").encode())
+                for p in parts:
+                    with open(p, "rb") as fh:
+                        fh.readline()  # per-shard header
+                        for line in fh:
+                            out.write(line)
+                            n_rows += 1
+            manifest = build_manifest(hour, fields, n_rows, hashes.get(hour, (0, 0))[0])
+            mpath = os.path.join(out_dir, f"{hour}-metadata.json")
+            with open(mpath, "w") as fh:
+                json.dump(manifest, fh, indent=1, sort_keys=True)
+            if zip_it:
+                zpath = os.path.join(out_dir, f"{hour}.zip")
+                with zipfile.ZipFile(
+                    zpath, "w", zipfile.ZIP_DEFLATED, compresslevel=9
+                ) as zf:
+                    zf.write(csv_path, f"{hour}.csv")
+                    zf.write(mpath, f"{hour}-metadata.json")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @task("siri-hourly-update-packages", cadence="daily", force_days=5)
 def siri_hourly_update_packages(
     spark: SparkSession,
@@ -238,14 +344,21 @@ def siri_hourly_update_packages(
     already have a manifest are skipped without recompute (:218's
     force-refresh horizon); otherwise the content-hash compare decides
     created/updated/skipped (:194-202). ``budget_seconds`` is the
-    reference's 10h wall-clock budget (:216)."""
+    reference's 10h wall-clock budget (:216).
+
+    Execution shape (r9; guide §2.4 — the loop's DECISIONS are per-hour
+    and manifest-driven, exactly the reference's control flow, but its
+    Spark work is batched): the sweep first resolves every hour's
+    short-circuit verdict from the manifests alone (no Spark job), then
+    ONE aggregation computes the content hash of every remaining hour
+    (was: one hash/write job per hour — 11 created hours cost 11 serial
+    jobs ≈ 0.9 s each at sf0.1), classifies each against its manifest
+    (created / updated / skipped — same decisions row-for-row), and ONE
+    partitioned write materializes just the changed hours. The
+    wall-clock budget bounds the sweep enumeration as before; the batch
+    jobs then run for the enumerated window only."""
     out_dir = out_dir or os.path.join(base_dir, "packages")
     locations = lake.read_table(spark, base_dir, "siri_vehicle_location")
-    ride_stops = lake.read_table(spark, base_dir, "siri_ride_stop")
-    rides = lake.read_table(spark, base_dir, "siri_ride")
-    routes = lake.read_table(spark, base_dir, "siri_route")
-    stops = lake.read_table(spark, base_dir, "siri_stop")
-    gtfs_stops = lake.read_table(spark, base_dir, "gtfs_stop")
 
     bounds = locations.agg(
         F.date_trunc("hour", F.min("recorded_at_time")).alias("lo"),
@@ -259,21 +372,44 @@ def siri_hourly_update_packages(
     counts = {"created": 0, "updated": 0, "skipped": 0, "skipped_exists": 0, "empty": 0}
     hour = bounds["hi"]
     scanned = 0
+    need: list[datetime.datetime] = []  # newest-first, hash compare required
     while hour >= bounds["lo"]:
         if time.time() - t0 > budget_seconds or (max_hours and scanned >= max_hours):
             break
-        base_name = hour.strftime("%Y-%m-%d.%H")
-        if hour < force_cutoff and read_manifest(out_dir, base_name) is not None:
+        if hour < force_cutoff and read_manifest(out_dir, _hour_key(hour)) is not None:
             counts["skipped_exists"] += 1
         else:
-            df = stride.siri_flat_export(
-                locations, ride_stops, rides, routes, stops, gtfs_stops,
-                str(hour), str(hour + datetime.timedelta(hours=1)),
-            )
-            res = publish_if_changed(df, out_dir, base_name)
-            counts[res["status"]] += 1
+            need.append(hour)
         scanned += 1
         hour -= datetime.timedelta(hours=1)
+
+    if need:
+        # Range predicate keeps parquet pushdown; the isin filter drops
+        # any interior skipped_exists hours from the jobs.
+        wide = _flat_export_hourly(
+            spark, base_dir,
+            str(min(need)), str(max(need) + datetime.timedelta(hours=1)),
+        )
+        keys = [_hour_key(h) for h in need]
+        wide = wide.where(F.col("_hour").isin(keys))
+        hashes = _hour_hashes(wide)
+        to_write: list[str] = []
+        for key in keys:
+            chash, n = hashes.get(key, (0, 0))
+            existing = read_manifest(out_dir, key)
+            if existing is None:
+                if n == 0:
+                    counts["empty"] += 1  # no rows, nothing published
+                else:
+                    counts["created"] += 1
+                    to_write.append(key)
+            elif existing.get("hash") == chash:
+                counts["skipped"] += 1
+            else:
+                counts["updated"] += 1
+                to_write.append(key)
+        if to_write:
+            _write_hour_packages(wide, to_write, hashes, out_dir, zip_it=True)
     return {"hours_scanned": scanned, **counts}
 
 
@@ -292,84 +428,22 @@ def siri_packages_backfill(
 
     The newest-first loop (siri-hourly-update-packages) remains the
     incremental path; this is the catch-up path, where per-hour loop
-    latency (2 jobs x N hours) would dominate at scale."""
-    import glob  # noqa: PLC0415
-    import json  # noqa: PLC0415
-    import shutil  # noqa: PLC0415
-    import tempfile  # noqa: PLC0415
-    import zipfile  # noqa: PLC0415
-
-    from ..functions.hashing import hex_to_long, row_md5  # noqa: PLC0415
-
+    latency (2 jobs x N hours) would dominate at scale. Hash / write /
+    stitch machinery is shared with the hourly sweep (r9:
+    `_hour_hashes` / `_write_hour_packages`)."""
     out_dir = out_dir or os.path.join(base_dir, "packages")
-    wide = stride.siri_flat_export(
-        lake.read_table(spark, base_dir, "siri_vehicle_location"),
-        lake.read_table(spark, base_dir, "siri_ride_stop"),
-        lake.read_table(spark, base_dir, "siri_ride"),
-        lake.read_table(spark, base_dir, "siri_route"),
-        lake.read_table(spark, base_dir, "siri_stop"),
-        lake.read_table(spark, base_dir, "gtfs_stop"),
-        "1970-01-01",
-        "9999-01-01",
-    ).withColumn("_hour", F.date_format(F.date_trunc("hour", "recorded_at_time"), "yyyy-MM-dd.HH"))
-
-    data_cols = [c for c in wide.columns if c != "_hour"]
-    h = hex_to_long(F.substring(row_md5(*[F.col(c) for c in data_cols]), 1, 10))
-    hashes = {
-        r["_hour"]: (r["h"] or 0) + r["n"]
-        for r in wide.groupBy("_hour")
-        .agg(F.sum(h).alias("h"), F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    wide = _flat_export_hourly(spark, base_dir, "1970-01-01", "9999-01-01")
+    hashes = _hour_hashes(wide)
     changed = [
         hour
-        for hour, chash in hashes.items()
+        for hour, (chash, _n) in hashes.items()
         if (read_manifest(out_dir, hour) or {}).get("hash") != chash
     ]
     counts = {"hours_total": len(hashes), "skipped": len(hashes) - len(changed), "written": 0}
     if not changed:
         return counts
-
-    tmp = tempfile.mkdtemp(prefix="backfill_")
-    try:
-        (
-            wide.where(F.col("_hour").isin(changed))
-            .repartition("_hour")
-            .write.mode("overwrite")
-            .option("header", True)
-            .partitionBy("_hour")
-            .csv(tmp)
-        )
-        fields = [
-            {"name": c, "type": wide.schema[c].dataType.simpleString()} for c in data_cols
-        ]
-        for hour in changed:
-            hdir = os.path.join(tmp, f"_hour={hour}")
-            parts = sorted(glob.glob(os.path.join(hdir, "part-*.csv")))
-            os.makedirs(out_dir, exist_ok=True)
-            csv_path = os.path.join(out_dir, f"{hour}.csv")
-            n_rows = 0
-            with open(csv_path, "wb") as out:
-                out.write((",".join(f["name"] for f in fields) + "\n").encode())
-                for p in parts:
-                    with open(p, "rb") as fh:
-                        fh.readline()  # per-shard header
-                        for line in fh:
-                            out.write(line)
-                            n_rows += 1
-            from ..sources.csv_package import build_manifest  # noqa: PLC0415
-
-            manifest = build_manifest(hour, fields, n_rows, hashes[hour])
-            with open(os.path.join(out_dir, f"{hour}-metadata.json"), "w") as fh:
-                json.dump(manifest, fh, indent=1, sort_keys=True)
-            with zipfile.ZipFile(
-                os.path.join(out_dir, f"{hour}.zip"), "w", zipfile.ZIP_DEFLATED, compresslevel=9
-            ) as zf:
-                zf.write(csv_path, f"{hour}.csv")
-                zf.write(os.path.join(out_dir, f"{hour}-metadata.json"), f"{hour}-metadata.json")
-            counts["written"] += 1
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    _write_hour_packages(wide, changed, hashes, out_dir, zip_it=True)
+    counts["written"] = len(changed)
     return counts
 
 
