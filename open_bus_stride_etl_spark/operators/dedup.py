@@ -206,7 +206,11 @@ def band_buckets(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Docs sharing any LSH band bucket (bands of 2 rows over m0..m7).
     Equi-join on (band, bucket) — the scale path: candidates are linear
-    in bucket occupancy, not quadratic in corpus size."""
+    in bucket occupancy, not quadratic in corpus size. The two sides are
+    aliases of ONE bucket subtree, so they share a single exchange at
+    runtime — do NOT filter one side here (a per-side filter breaks the
+    reuse and runs the signature aggregation twice; measured r9, the
+    first b_ids draft cost ~1 s at sf0.1)."""
     keyed = band_buckets(signatures, id_col)
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
@@ -298,6 +302,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     k: int = 3,
     max_broadcast_pairs: int | None = 5_000_000,
+    b_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash → LSH-banding → exact-Jaccard pipeline as ONE
     plan-tuned operator: ``(doc_a, doc_b, jaccard_bp)`` for every LSH
@@ -354,7 +359,25 @@ def minhash_lsh_pairs(
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
     sigs = raw.groupBy(id_col).agg(*aggs)
-    cands = track_persist(lsh_candidate_pairs(sigs, id_col=id_col))
+    # ``b_ids`` (optional, single ``id_col`` column) restricts the PAIR
+    # B-SIDE (the higher id — the side dedup callers drop) via a
+    # semi-join on the candidate pairs (guide §3.2). Signatures and the
+    # bucket self-join still cover the full corpus (any doc can be the
+    # a-side, and the self-join's two sides must stay one shared
+    # exchange — see lsh_candidate_pairs), but everything pair-level —
+    # the persisted candidate set, the member re-shingle explode, and
+    # the exact-Jaccard verify — shrinks to pairs whose b-side is in
+    # the batch. Verdicts for every returned pair are identical; plain
+    # (not forced-broadcast) join — the batch size is the caller's
+    # contract, not the LSH occupancy invariant's.
+    pairs = lsh_candidate_pairs(sigs, id_col=id_col)
+    if b_ids is not None:
+        pairs = pairs.join(
+            b_ids.select(F.col(id_col).alias("doc_b")).distinct(),
+            on="doc_b",
+            how="left_semi",
+        )
+    cands = track_persist(pairs)
     if max_broadcast_pairs is None:
         bc = F.broadcast
     else:

@@ -108,8 +108,14 @@ def llm_curate_corpus(
     # across runs, and a duplicate-key left join would duplicate rows;
     # a whole fp-group drops together, so keeper semantics stay
     # consistent either way).
-    fl = scored
-    seen_flag = F.lit(False)
+    from pyspark.sql import Observation  # noqa: PLC0415
+
+    flag_aggs = [
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(ok_quality & ok_lang, 1)).alias("n_quality_lang"),
+        F.count(F.when(ok_quality & ok_lang & keeper, 1)).alias("n_after_exact"),
+    ]
+    obs_flags = None
     if seen is not None:
         fl = scored.join(
             seen.select(F.col("fingerprint").alias("_fp")).distinct().withColumn(
@@ -119,22 +125,27 @@ def llm_curate_corpus(
             how="left",
         )
         seen_flag = F.col("_seen").isNotNull()
-    flags = fl.agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.count(F.when(ok_quality & ok_lang, 1)).alias("n_quality_lang"),
-        F.count(F.when(ok_quality & ok_lang & keeper, 1)).alias("n_after_exact"),
-        F.count(F.when(ok_quality & ok_lang & keeper & ~seen_flag, 1)).alias(
-            "n_remaining"
-        ),
-    ).collect()[0]
-    n_remaining = flags["n_remaining"] if seen is not None else None
-    n_seen_dropped = (
-        flags["n_after_exact"] - n_remaining if seen is not None else 0
-    )
-    if seen is not None:
+        # The counts must be known BEFORE the no-op branch decision, so
+        # incremental mode keeps the standalone aggregation pass.
+        flags = fl.agg(
+            *flag_aggs,
+            F.count(F.when(ok_quality & ok_lang & keeper & ~seen_flag, 1)).alias(
+                "n_remaining"
+            ),
+        ).collect()[0]
+        n_remaining = flags["n_remaining"]
+        n_seen_dropped = flags["n_after_exact"] - n_remaining
         scored = scored.join(
             seen.select(F.col("fingerprint").alias("_fp")), on="_fp", how="left_anti"
         )
+    else:
+        # Non-incremental mode never branches on the counts, so they
+        # ride the artifact write as observed metrics (guide §1.4 /
+        # write_package's pattern) — ONE scoring pass instead of two.
+        obs_flags = Observation()
+        scored = scored.observe(obs_flags, *flag_aggs)
+        n_remaining = None
+        n_seen_dropped = 0
 
     kept = scored.where(ok_quality & ok_lang & keeper)
     if n_remaining == 0:
@@ -152,8 +163,34 @@ def llm_curate_corpus(
             [], kept.drop("_quality_bp", "_lang", "_fp", "_min_id").schema
         )
     else:
+        # Incremental runs only need to know whether a REMAINING doc
+        # loses an LSH pair — restrict the pair b-side to the
+        # new-content docs (guide §3.2 selective semi-join; the a-side
+        # stays the full corpus): candidates, the member re-shingle and
+        # the Jaccard verify shrink to the batch's bucket-mates instead
+        # of re-pairing the whole corpus to re-drop the same losers
+        # every run. The set is the fingerprint-only anti-join (NOT the
+        # scored `kept` frame): a strict superset of every possible
+        # survivor — kept ⊆ {fp ∉ seen} by construction — whose build
+        # costs one md5 pass, not the quality/lang regex kernels plus
+        # the fingerprint window. Losers outside the kept set never
+        # survive the anti-join below anyway, so survivors are
+        # identical either way.
+        b_ids = None
+        if seen is not None:
+            b_ids = (
+                docs.select(
+                    "doc_id", tx.doc_fingerprint(F.col("text")).alias("_fp")
+                )
+                .join(
+                    seen.select(F.col("fingerprint").alias("_fp")),
+                    on="_fp",
+                    how="left_anti",
+                )
+                .select("doc_id")
+            )
         near_dup_losers = (
-            dd.minhash_lsh_pairs(docs)
+            dd.minhash_lsh_pairs(docs, b_ids=b_ids)
             .where(F.col("jaccard_bp") >= jaccard_min_bp)
             .select(F.col("doc_b").alias("doc_id"))
             .distinct()
@@ -164,8 +201,6 @@ def llm_curate_corpus(
     out = out_dir or f"{base_dir}/curated_documents"
     # n_final rides the write job via the Observation API (the
     # csv_package.write_package pattern) instead of a read-back count.
-    from pyspark.sql import Observation  # noqa: PLC0415
-
     obs = Observation()
     survivors.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
         "overwrite"
@@ -185,12 +220,13 @@ def llm_curate_corpus(
             .write.mode("append")
             .parquet(seen_path)
         )
+    fv = obs_flags.get if obs_flags is not None else flags  # post-write either way
     return {
-        "n_total": flags["n_total"],
-        "n_quality_lang": flags["n_quality_lang"],
-        "n_after_exact": flags["n_after_exact"],
+        "n_total": fv["n_total"],
+        "n_quality_lang": fv["n_quality_lang"],
+        "n_after_exact": fv["n_after_exact"],
         "n_seen_dropped": n_seen_dropped,
-        "n_near_dup_dropped": flags["n_after_exact"] - n_final - n_seen_dropped,
+        "n_near_dup_dropped": fv["n_after_exact"] - n_final - n_seen_dropped,
         "n_final": n_final,
         "out_dir": out,
     }

@@ -70,6 +70,33 @@ def test_minhash_lsh_pairs_matches_primitive_composition(spark):
     assert tuned[(1, 5)] == 10000 and tuned[(3, 4)] == 10000
 
 
+def test_minhash_lsh_pairs_b_ids_restriction(spark):
+    """The incremental b-side restriction (r9) returns EXACTLY the full
+    pipeline's pairs filtered to doc_b ∈ b_ids — same jaccard values,
+    nothing extra, nothing missing (the curate fast-path's correctness
+    precondition)."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog tonight"),
+            Row(doc_id=3, text="an entirely different document about spark pipelines"),
+            Row(doc_id=4, text="an entirely different document about spark pipelines"),
+            Row(doc_id=5, text="the quick brown fox jumps over the lazy dog today"),
+        ]
+    )
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_bp"]
+        for r in dd.minhash_lsh_pairs(docs).collect()
+    }
+    b_ids = spark.createDataFrame([Row(doc_id=4), Row(doc_id=5)])
+    restricted = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_bp"]
+        for r in dd.minhash_lsh_pairs(docs, b_ids=b_ids).collect()
+    }
+    assert restricted == {p: j for p, j in full.items() if p[1] in (4, 5)}
+    assert any(b not in (4, 5) for _a, b in full)  # restriction is real
+
+
 def test_shingle_count_exact(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="w1 w2 w3 w4"), Row(doc_id=2, text="w1 w2")])
     out = df.withColumn("_w", F.split(tx.normalize_text(F.col("text")), " ")).select(
