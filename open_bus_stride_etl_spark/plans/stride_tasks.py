@@ -148,15 +148,17 @@ def _ledger(spark: SparkSession, base_dir: str) -> DataFrame:
 
 
 def _record_ledger(
-    spark: SparkSession, base_dir: str, task_name: str, dates: list, success: bool, error=None
+    spark: SparkSession, base_dir: str, task_name: str, outcomes: list
 ) -> None:
     """Append (date, task) completion rows — the reference's
     idempotent_process_gtfs_data.py:30-78 bookkeeping. Parquet append
-    creates new files only, so no read-overwrite hazard."""
-    if not dates:
+    creates new files only, so no read-overwrite hazard. ``outcomes``:
+    [(date, success, error), ...] — success and failure rows ride ONE
+    append write (r9; was one tiny write job per outcome class)."""
+    if not outcomes:
         return
     now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
-    rows = [(d, task_name, now, now, error, success) for d in dates]
+    rows = [(d, task_name, now, now, error, success) for d, success, error in outcomes]
     df = spark.createDataFrame(
         rows,
         "date date, task_name string, started_at timestamp, completed_at timestamp, "
@@ -208,19 +210,32 @@ def gtfs_update_ride_aggregations(spark: SparkSession, base_dir: str):
     }
     ok = [d for d in todo_dates if pct.get(d, 0.0) >= 90.0]
     bad = [d for d in todo_dates if d not in ok]
-    _record_ledger(spark, base_dir, task_name, ok, success=True)
     _record_ledger(
-        spark, base_dir, task_name, bad, success=False, error="completeness below 90%"
+        spark, base_dir, task_name,
+        [(d, True, None) for d in ok]
+        + [(d, False, "completeness below 90%") for d in bad],
     )
-    # refresh the materialized-aggregate analogs (siri/update_rides_gtfs.py:130-137)
-    for by_hour, name in ((False, "gtfs_rides_agg"), (True, "gtfs_rides_agg_by_hour")):
-        lake.overwrite_table(
-            stride.gtfs_rides_agg(
-                lake.read_table(spark, base_dir, "gtfs_ride"), g_routes, by_hour=by_hour
-            ),
-            base_dir,
-            name,
+    # refresh the materialized-aggregate analogs (siri/update_rides_gtfs.py:
+    # 130-137). The by_hour view is computed from the fresh ride table;
+    # the non-hour view is its exact ROLLUP (num_rides = Σ per-hour
+    # counts, first/last = min/max over hours — NULL start_time rows sit
+    # in the NULL-hour group, so nothing is lost), read back from the
+    # just-written tiny table instead of re-scanning + re-joining
+    # gtfs_ride (r9: one big aggregation job per run, not two).
+    by_hour_df = stride.gtfs_rides_agg(
+        lake.read_table(spark, base_dir, "gtfs_ride"), g_routes, by_hour=True
+    )
+    lake.overwrite_table(by_hour_df, base_dir, "gtfs_rides_agg_by_hour")
+    rollup = (
+        lake.read_table(spark, base_dir, "gtfs_rides_agg_by_hour")
+        .groupBy("date", "gtfs_route_id", "line_ref")
+        .agg(
+            F.sum("num_rides").alias("num_rides"),
+            F.min("first_ride_start").alias("first_ride_start"),
+            F.max("last_ride_start").alias("last_ride_start"),
         )
+    )
+    lake.overwrite_table(rollup, base_dir, "gtfs_rides_agg")
     return {"dates_processed": len(todo_dates), "dates_ok": len(ok), "dates_failed": len(bad)}
 
 
