@@ -98,6 +98,23 @@ def _write_table(df, base: str, name: str) -> None:
     df.write.mode("overwrite").parquet(lake.table_path(base, name))
 
 
+def _write_tables_parallel(base: str, pairs) -> None:
+    """Stage independent builder tables CONCURRENTLY (r9, guide §1.2/§6):
+    each staging write is a tiny job whose wall is dominated by job
+    launch + task scheduling, and the builders run 3-8 of them with no
+    data dependency (every frame derives from an already-checkpointed
+    source or a literal range). Serial submission paid that fixed
+    latency 8x back-to-back; submitting from a thread pool overlaps
+    them (Spark schedules concurrent jobs from one session safely —
+    DataFrames are immutable and each write targets its own fresh dir).
+    Table CONTENT is byte-identical per table; only wall-clock changes."""
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+    with ThreadPoolExecutor(max_workers=len(pairs)) as ex:
+        # list() re-raises the first writer exception, if any
+        list(ex.map(lambda p: _write_table(p[0], base, p[1]), pairs))
+
+
 def _build_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
     """Materialize the synthetic stride lake the chained tasks run on.
     Mod-class design (all mirrored in the oracle CTEs):
@@ -123,8 +140,9 @@ def _build_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
     # the events scan + filter + interval arithmetic (guide §2.4: remove
     # repeated passes). The checkpointed frame is 3 narrow columns.
     src = _rides_src(spark, sf_dir).localCheckpoint(eager=True)
+    _tables = []
 
-    _write_table(
+    _tables.append((
         src.select(
             F.col("rid").alias("id"),
             (1 + F.col("rid") % 50).alias("siri_route_id"),
@@ -145,18 +163,16 @@ def _build_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
             F.lit(None).cast("long").alias("journey_gtfs_ride_id"),
             F.lit(None).cast("long").alias("scheduled_time_gtfs_ride_id"),
         ),
-        base,
-        "siri_ride",
-    )
+        "siri_ride"))
 
-    routes = spark.range(1, 51).select(
+    routes = spark.range(1, 51, numPartitions=1).select(
         F.col("id"),
         F.concat(F.lit("op"), (F.col("id") % 10).cast("string")).alias("operator_ref"),
         F.concat(F.lit("line"), F.col("id").cast("string")).alias("line_ref"),
     )
-    _write_table(routes, base, "siri_route")
+    _tables.append((routes, "siri_route"))
 
-    _write_table(
+    _tables.append((
         src.select(
             F.explode(F.array(F.lit(0), F.lit(1))).alias("k"), F.col("rid")
         ).select(
@@ -167,17 +183,13 @@ def _build_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
             F.lit(None).cast("long").alias("gtfs_stop_id"),
             F.lit(None).cast("long").alias("nearest_siri_vehicle_location_id"),
         ),
-        base,
-        "siri_ride_stop",
-    )
+        "siri_ride_stop"))
 
-    _write_table(
-        spark.range(1, 41).select(
+    _tables.append((
+        spark.range(1, 41, numPartitions=1).select(
             F.col("id"), F.format_string("S%03d", F.col("id")).alias("code")
         ),
-        base,
-        "siri_stop",
-    )
+        "siri_stop"))
 
     with_locs = src.where(F.col("rid") % 17 != 0)
     regular = with_locs.select(
@@ -186,7 +198,7 @@ def _build_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
     straggler = with_locs.where(F.col("rid") % 13 == 0).select(
         "rid", "sched", F.lit(5).alias("j")
     )
-    _write_table(
+    _tables.append((
         regular.unionByName(straggler).select(
             ((F.col("rid") - 1) * 6 + F.col("j") + 1).alias("id"),
             (2 * F.col("rid") - 1 + F.pmod(F.col("j"), F.lit(2))).alias(
@@ -204,16 +216,14 @@ def _build_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
             ).alias("lat"),
             (34.7 + ((F.col("rid") + F.col("j")) % 50) / 100.0).alias("lon"),
         ),
-        base,
-        "siri_vehicle_location",
-    )
+        "siri_vehicle_location"))
 
     # GTFS stops cover only sid <= 35 (codes S036..S040 stay unmatched);
     # id = day*40 + sid keeps the arithmetic uniform with a gap.
-    _write_table(
-        spark.range(10)
+    _tables.append((
+        spark.range(10, numPartitions=1)
         .select(F.col("id").alias("d"))
-        .crossJoin(spark.range(1, 36).select(F.col("id").alias("sid")))
+        .crossJoin(spark.range(1, 36, numPartitions=1).select(F.col("id").alias("sid")))
         .select(
             (F.col("d") * 40 + F.col("sid")).alias("id"),
             F.date_add(F.lit("2024-03-01").cast("date"), F.col("d").cast("int")).alias(
@@ -223,13 +233,11 @@ def _build_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
             (32.0 + F.col("sid") / 100.0).alias("lat"),
             (34.7 + (F.col("sid") * 3 % 90) / 100.0).alias("lon"),
         ),
-        base,
-        "gtfs_stop",
-    )
+        "gtfs_stop"))
 
-    dates = spark.range(10).select(F.col("id").alias("d"))
-    _write_table(
-        dates.crossJoin(spark.range(1, 51).select(F.col("id").alias("r"))).select(
+    dates = spark.range(10, numPartitions=1).select(F.col("id").alias("d"))
+    _tables.append((
+        dates.crossJoin(spark.range(1, 51, numPartitions=1).select(F.col("id").alias("r"))).select(
             (F.col("d") * 50 + F.col("r")).alias("id"),
             F.date_add(F.lit("2024-03-01").cast("date"), F.col("d").cast("int")).alias(
                 "date"
@@ -237,9 +245,7 @@ def _build_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
             F.concat(F.lit("op"), (F.col("r") % 10).cast("string")).alias("operator_ref"),
             F.concat(F.lit("line"), F.col("r").cast("string")).alias("line_ref"),
         ),
-        base,
-        "gtfs_route",
-    )
+        "gtfs_route"))
 
     compat = F.col("day_idx") * 50 + 1 + F.col("rid") % 50
     g1 = src.select(
@@ -284,7 +290,9 @@ def _build_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
             )
         ).alias("start_time"),
     )
-    _write_table(g1.unionByName(g2).unionByName(g3), base, "gtfs_ride")
+    _tables.append((g1.unionByName(g2).unionByName(g3), "gtfs_ride"))
+    _write_tables_parallel(base, _tables)
+
 
 
 _NULL = "chr(0) || 'NULL' || chr(0)"
@@ -619,8 +627,9 @@ def _build_packager_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
         "rid",
         (epoch + F.make_interval(hours=(F.col("rid") % 48).cast("int"))).alias("sched"),
     ).localCheckpoint(eager=True)
+    _tables = []
 
-    _write_table(
+    _tables.append((
         rides.select(
             F.col("rid").alias("id"),
             (1 + F.col("rid") % 20).alias("siri_route_id"),
@@ -631,26 +640,20 @@ def _build_packager_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
             .cast("int")
             .alias("duration_minutes"),
         ),
-        base,
-        "siri_ride",
-    )
-    _write_table(
-        spark.range(1, 21).select(
+        "siri_ride"))
+    _tables.append((
+        spark.range(1, 21, numPartitions=1).select(
             F.col("id"),
             F.concat(F.lit("op"), (F.col("id") % 5).cast("string")).alias("operator_ref"),
             F.concat(F.lit("line"), F.col("id").cast("string")).alias("line_ref"),
         ),
-        base,
-        "siri_route",
-    )
-    _write_table(
-        spark.range(1, 31).select(
+        "siri_route"))
+    _tables.append((
+        spark.range(1, 31, numPartitions=1).select(
             F.col("id"), F.concat(F.lit("S"), F.col("id").cast("string")).alias("code")
         ),
-        base,
-        "siri_stop",
-    )
-    _write_table(
+        "siri_stop"))
+    _tables.append((
         rides.select(
             F.explode(F.array(F.lit(0), F.lit(1))).alias("k"), F.col("rid")
         ).select(
@@ -661,21 +664,17 @@ def _build_packager_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
             F.when((F.col("rid") + F.col("k")) % 6 != 0, 100 + (F.col("rid") + F.col("k")) % 30)
             .alias("gtfs_stop_id"),
         ),
-        base,
-        "siri_ride_stop",
-    )
-    _write_table(
-        spark.range(0, 30).select(
+        "siri_ride_stop"))
+    _tables.append((
+        spark.range(0, 30, numPartitions=1).select(
             (100 + F.col("id")).alias("id"),
             (32.0 + F.col("id") / 100.0).alias("lat"),
             (34.0 + F.col("id") / 100.0).alias("lon"),
             F.concat(F.lit("city"), (F.col("id") % 7).cast("string")).alias("city"),
             F.concat(F.lit("stop "), F.col("id").cast("string")).alias("name"),
         ),
-        base,
-        "gtfs_stop",
-    )
-    _write_table(
+        "gtfs_stop"))
+    _tables.append((
         rides.select(
             "rid", "sched", F.explode(F.array(*[F.lit(i) for i in range(3)])).alias("j")
         ).select(
@@ -695,9 +694,9 @@ def _build_packager_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
             (F.col("j") * 13 % 90).cast("int").alias("velocity"),
             (F.col("j") * 500).cast("int").alias("distance_from_journey_start"),
         ),
-        base,
-        "siri_vehicle_location",
-    )
+        "siri_vehicle_location"))
+    _write_tables_parallel(base, _tables)
+
 
 
 _HASH_COLS_SQL = " || '|' || ".join(
@@ -890,10 +889,11 @@ def _build_gtfs_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
             | ((F.col("gid") % 10 != 3) & (F.col("gid") % 67 == 0))
         ).alias("stopless"),
     ).localCheckpoint(eager=True)
-    _write_table(
-        spark.range(10)
+    _tables = []
+    _tables.append((
+        spark.range(10, numPartitions=1)
         .select(F.col("id").alias("d"))
-        .crossJoin(spark.range(1, 6).select(F.col("id").alias("r")))
+        .crossJoin(spark.range(1, 6, numPartitions=1).select(F.col("id").alias("r")))
         .select(
             (F.col("d") * 5 + F.col("r")).alias("id"),
             F.date_add(F.lit("2024-03-01").cast("date"), F.col("d").cast("int")).alias(
@@ -902,10 +902,8 @@ def _build_gtfs_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
             F.concat(F.lit("op"), (F.col("r") % 3).cast("string")).alias("operator_ref"),
             F.concat(F.lit("line"), F.col("r").cast("string")).alias("line_ref"),
         ),
-        base,
-        "gtfs_route",
-    )
-    _write_table(
+        "gtfs_route"))
+    _tables.append((
         rides.select(
             F.col("gid").alias("id"),
             (F.col("day") * 5 + F.col("r")).alias("gtfs_route_id"),
@@ -915,10 +913,8 @@ def _build_gtfs_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
             F.lit(None).cast("long").alias("first_gtfs_ride_stop_id"),
             F.lit(None).cast("long").alias("last_gtfs_ride_stop_id"),
         ),
-        base,
-        "gtfs_ride",
-    )
-    _write_table(
+        "gtfs_ride"))
+    _tables.append((
         rides.where(~F.col("stopless"))
         .select(
             "gid", "start0",
@@ -937,9 +933,9 @@ def _build_gtfs_lake(spark: SparkSession, sf_dir: str, base: str) -> None:
                 + F.make_interval(mins=(F.col("seq") * 10 + 1).cast("int"))
             ).alias("departure_time"),
         ),
-        base,
-        "gtfs_ride_stop",
-    )
+        "gtfs_ride_stop"))
+    _write_tables_parallel(base, _tables)
+
 
 
 _SQL_RIDE_AGG_LEDGER = f"""

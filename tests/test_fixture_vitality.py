@@ -292,3 +292,28 @@ def test_corpus_clean_verdict_classes_all_fire(spark):
         .select("predicted_lang").distinct().collect()
     }
     assert {"es", "de", "fr"} <= langs, langs
+
+
+def test_builder_staging_layout_and_parallel_flush(spark, sf_dir, tmp_path_factory):
+    """r9 staging optimization guard: the literal-range dim tables must
+    stay SINGLE-FILE (numPartitions=1 — 32 one-row-ish files per tiny
+    dim was pure task/listing overhead for every downstream task read)
+    and the parallel flush must still materialize EVERY table of the
+    build (a dropped pair would only surface as a downstream
+    read-failure otherwise)."""
+    import os
+
+    base = str(tmp_path_factory.mktemp("stage_layout"))
+    qsd._build_lake(spark, sf_dir, base)
+    all_tables = [
+        "siri_ride", "siri_route", "siri_ride_stop", "siri_stop",
+        "siri_vehicle_location", "gtfs_stop", "gtfs_route", "gtfs_ride",
+    ]
+    for t in all_tables:
+        assert lake.table_exists(base, t), t
+    for dim in ("siri_route", "siri_stop", "gtfs_stop", "gtfs_route"):
+        parts = [
+            f for f in os.listdir(lake.table_path(base, dim))
+            if f.startswith("part-")
+        ]
+        assert len(parts) == 1, (dim, parts)
