@@ -1030,7 +1030,14 @@ def corpus_clean_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     clones = src0.where(F.col("doc_id") % 53 == 2).select(
         (F.col("doc_id") + F.lit(max_id + 1)).alias("doc_id"), "text"
     )
-    d = src0.unionByName(clones)
+    # The derived corpus feeds the scoring pass AND every internal scan
+    # of the LSH pipeline (signatures, bucket self-join sides, the
+    # Jaccard verify's re-shingle) — ~8 parquet scans each re-running
+    # the suffix concat + clone union without this persist (r9 paired
+    # A/B: +1.47 s median, 4/4 signs at sf0.1, results hash-identical).
+    # track_persist so release_cached() frees it deterministically at
+    # the next query construction (bench/run_task stage boundaries).
+    d = track_persist(src0.unionByName(clones))
     base = d.select(
         "doc_id",
         tx.quality_score_bp(F.col("text")).alias("quality_bp"),
