@@ -386,8 +386,15 @@ def llm_ann_query(
         spark, emb, idx, n_queries=n_queries, k_top=k_top, n_probe=n_probe
     )
     out = out_dir or f"{base_dir}/ann_results"
-    result.write.mode("overwrite").parquet(out)
-    n_rows = spark.read.parquet(out).count()
+    # n_result_rows rides the write job (Observation API — the
+    # overwrite_table_observed pattern; was a read-back count job, r9)
+    from pyspark.sql import Observation  # noqa: PLC0415
+
+    obs = Observation()
+    result.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(out)
+    n_rows = obs.get["n"]
     metrics = {
         "n_queries": probe_meta["n_queries"],
         "k_top": k_top,

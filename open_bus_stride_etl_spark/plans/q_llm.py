@@ -2317,7 +2317,14 @@ def curate_incremental_noop(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, "llm-curate-corpus", base_dir=base,
             out_dir=f"{base}/out2", history_dir=hist,
         )
-        n_index = spark.read.parquet(f"{hist}/seen_fingerprints.parquet").count()
+        # exact row count from the parquet footers (no Spark job; falls
+        # back to the scan when footers can't answer — r9)
+        from ..sources import parquet_stats  # noqa: PLC0415
+
+        idx_path = f"{hist}/seen_fingerprints.parquet"
+        n_index = parquet_stats.row_count(idx_path)
+        if n_index is None:
+            n_index = spark.read.parquet(idx_path).count()
         out1 = spark.read.parquet(f"{base}/out1")
         h = hex_to_long(F.substring(row_md5(F.col("doc_id"), F.col("text")), 1, 10))
         return (

@@ -1030,8 +1030,12 @@ def ride_aggregation_ledger_invariance(spark: SparkSession, sf_dir: str) -> Data
             )
         )
         ledger = lake.read_table(spark, base, "gtfs_data_task")
-        n_ledger = ledger.count()
-        n_ok = ledger.where(F.col("success")).count()
+        # one aggregation job for both ledger counters (was two)
+        lrow = ledger.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("success"), 1)).alias("ok"),
+        ).collect()[0]
+        n_ledger, n_ok = lrow["n"], lrow["ok"]
         return (
             rides.agg(
                 F.count(F.lit(1)).alias("n_rides"),

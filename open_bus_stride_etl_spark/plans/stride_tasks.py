@@ -27,16 +27,30 @@ from pyspark.sql import functions as F
 
 from ..operators.ledger import missing_dates
 from ..operators.stats import status_counts, validate_freshness
-from ..sources import stride_lake as lake
+from ..sources import parquet_stats, stride_lake as lake
 from ..sources.artifacts import register_artifact
 from ..sources.csv_package import publish_if_changed, read_manifest
 from . import stride
 from .tasks import task
 
 
-def _nonnull(df: DataFrame, col: str) -> int:
-    """Non-null count of one column (column-pruned scan)."""
-    return df.where(F.col(col).isNotNull()).count()
+def _nonnull(
+    spark: SparkSession, base_dir: str, name: str, col: str
+) -> int:
+    """Non-null count of one enrichment column of a lake table — the
+    task's 'rows already set' bookkeeping. Answered from parquet footer
+    statistics when the snapshot is a local parquet dir (exact
+    null_count metadata, O(files) driver-side, no Spark job — r9, guide
+    §6); any non-local lake or stats-less chunk falls back to the
+    column-pruned scan, so the metric is exact either way."""
+    n = parquet_stats.nonnull_count(lake.table_path(base_dir, name), col)
+    if n is not None:
+        return n
+    return (
+        lake.read_table(spark, base_dir, name)
+        .where(F.col(col).isNotNull())
+        .count()
+    )
 
 
 def _write_and_count(
@@ -67,7 +81,7 @@ def siri_add_ride_durations(
     scheduler default is wall-clock, like the reference's
     datetime.datetime.now (siri/add_ride_durations.py:68-84)."""
     rides = lake.read_table(spark, base_dir, "siri_ride")
-    n_before = _nonnull(rides, "updated_duration_minutes")
+    n_before = _nonnull(spark, base_dir, "siri_ride", "updated_duration_minutes")
     out = stride.add_ride_durations(
         rides,
         lake.read_table(spark, base_dir, "siri_ride_stop"),
@@ -85,7 +99,7 @@ def siri_add_ride_durations(
 @task("siri-update-ride-stops-gtfs", cadence="hourly", num_days=1)
 def siri_update_ride_stops_gtfs(spark: SparkSession, base_dir: str, min_date: str, max_date: str):
     ride_stops = lake.read_table(spark, base_dir, "siri_ride_stop")
-    n_before = _nonnull(ride_stops, "gtfs_stop_id")
+    n_before = _nonnull(spark, base_dir, "siri_ride_stop", "gtfs_stop_id")
     out = stride.update_ride_stops_gtfs(
         ride_stops,
         lake.read_table(spark, base_dir, "siri_ride"),
@@ -103,7 +117,7 @@ def siri_update_ride_stops_gtfs(spark: SparkSession, base_dir: str, min_date: st
 @task("siri-update-rides-gtfs", cadence="hourly", num_days=1)
 def siri_update_rides_gtfs(spark: SparkSession, base_dir: str, min_date: str, max_date: str):
     rides = lake.read_table(spark, base_dir, "siri_ride")
-    n_before = _nonnull(rides, "gtfs_ride_id")
+    n_before = _nonnull(spark, base_dir, "siri_ride", "gtfs_ride_id")
     out = stride.update_rides_gtfs(
         rides,
         lake.read_table(spark, base_dir, "siri_route"),
@@ -123,7 +137,7 @@ def siri_update_ride_stops_vehicle_locations(
     spark: SparkSession, base_dir: str, min_date: str, max_date: str
 ):
     ride_stops = lake.read_table(spark, base_dir, "siri_ride_stop")
-    n_before = _nonnull(ride_stops, "nearest_siri_vehicle_location_id")
+    n_before = _nonnull(spark, base_dir, "siri_ride_stop", "nearest_siri_vehicle_location_id")
     out = stride.update_ride_stops_vehicle_locations(
         ride_stops,
         lake.read_table(spark, base_dir, "siri_ride"),

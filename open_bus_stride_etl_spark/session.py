@@ -33,6 +33,12 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Write timestamps as INT64 micros instead of the deprecated INT96
+    # default: INT96 chunks carry NO footer statistics (parquet spec),
+    # which blanked sources/parquet_stats.py's null_count fast path for
+    # every timestamp marker column (r9) — and micros is Spark's native
+    # timestamp precision, so values round-trip identically.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # InferFiltersFromGenerate synthesizes `size(e) > 0 AND isnotnull(e)`
     # below every explode(e). For this engine's hot pattern —
     # explode(shingle_array(split(normalize(text)))) — CollapseProject
