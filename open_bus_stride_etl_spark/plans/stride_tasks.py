@@ -335,16 +335,19 @@ def _write_hour_packages(
             hdir = os.path.join(tmp, f"_hour={hour}")
             parts = sorted(glob.glob(os.path.join(hdir, "part-*.csv")))
             csv_path = os.path.join(out_dir, f"{hour}.csv")
-            n_rows = 0
             with open(csv_path, "wb") as out:
                 out.write((",".join(f["name"] for f in fields) + "\n").encode())
                 for p in parts:
                     with open(p, "rb") as fh:
                         fh.readline()  # per-shard header
-                        for line in fh:
-                            out.write(line)
-                            n_rows += 1
-            manifest = build_manifest(hour, fields, n_rows, hashes.get(hour, (0, 0))[0])
+                        shutil.copyfileobj(fh, out)
+            # The manifest row count is the EXACT aggregation count from
+            # _hour_hashes (the same job that produced the hash), never a
+            # physical-line count of the stitched file: a string field
+            # containing a newline is RFC-4180-quoted by Spark's CSV
+            # writer and spans multiple physical lines (r10 — the hourly
+            # sweep briefly line-counted here and would have overcounted).
+            manifest = build_manifest(hour, fields, hashes.get(hour, (0, 0))[1], hashes.get(hour, (0, 0))[0])
             mpath = os.path.join(out_dir, f"{hour}-metadata.json")
             with open(mpath, "w") as fh:
                 json.dump(manifest, fh, indent=1, sort_keys=True)
@@ -359,7 +362,7 @@ def _write_hour_packages(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-@task("siri-hourly-update-packages", cadence="daily", force_days=5)
+@task("siri-hourly-update-packages", cadence="daily", force_days=5, chunk_hours=168)
 def siri_hourly_update_packages(
     spark: SparkSession,
     base_dir: str,
@@ -367,6 +370,7 @@ def siri_hourly_update_packages(
     force_days: int = 5,
     max_hours: int | None = None,
     budget_seconds: int = 36000,
+    chunk_hours: int = 168,
 ):
     """Hour sweep, newest first (packagers/siri.py:206-240): each hour's
     flat export becomes one package. Hours older than ``force_days`` that
@@ -384,8 +388,21 @@ def siri_hourly_update_packages(
     jobs ≈ 0.9 s each at sf0.1), classifies each against its manifest
     (created / updated / skipped — same decisions row-for-row), and ONE
     partitioned write materializes just the changed hours. The
-    wall-clock budget bounds the sweep enumeration as before; the batch
-    jobs then run for the enumerated window only."""
+    wall-clock budget bounds the sweep enumeration as before, AND
+    (r10) the batched Spark work itself: hours needing a hash compare
+    are processed in ``chunk_hours`` chunks (newest first), with the
+    budget re-checked before every chunk's hash/write jobs — a catch-up
+    sweep over an unbounded backlog stops mid-sweep like the
+    reference's per-hour loop instead of running its whole enumerated
+    window past the budget. Within one chunk the shape is unchanged
+    (one hash aggregation + one partitioned write), so an in-budget
+    window no larger than ``chunk_hours`` pays exactly the r9 job
+    count; each chunk's flat export carries its own [lo, hi) range so
+    parquet pushdown prunes per chunk. Hours enumerated but left
+    unprocessed by an exhausted budget contribute to ``hours_scanned``
+    only — their created/updated/skipped/empty outcomes are simply not
+    decided this run, matching the reference's stop-where-you-are
+    contract."""
     out_dir = out_dir or os.path.join(base_dir, "packages")
     locations = lake.read_table(spark, base_dir, "siri_vehicle_location")
 
@@ -412,14 +429,18 @@ def siri_hourly_update_packages(
         scanned += 1
         hour -= datetime.timedelta(hours=1)
 
-    if need:
-        # Range predicate keeps parquet pushdown; the isin filter drops
-        # any interior skipped_exists hours from the jobs.
+    step = max(1, int(chunk_hours))
+    for i in range(0, len(need), step):
+        if time.time() - t0 > budget_seconds:
+            break  # budget exhausted between chunks: stop mid-sweep
+        sub = need[i : i + step]
+        # Range predicate keeps parquet pushdown (per chunk); the isin
+        # filter drops any interior skipped_exists hours from the jobs.
         wide = _flat_export_hourly(
             spark, base_dir,
-            str(min(need)), str(max(need) + datetime.timedelta(hours=1)),
+            str(min(sub)), str(max(sub) + datetime.timedelta(hours=1)),
         )
-        keys = [_hour_key(h) for h in need]
+        keys = [_hour_key(h) for h in sub]
         wide = wide.where(F.col("_hour").isin(keys))
         hashes = _hour_hashes(wide)
         to_write: list[str] = []

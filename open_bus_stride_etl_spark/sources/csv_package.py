@@ -213,7 +213,16 @@ def load_package(spark, out_dir: str, base_name: str) -> "DataFrame":
     fields = manifest_fields(manifest)
     csv_path = os.path.join(out_dir, f"{base_name}.csv")
     all_string = ", ".join(f"`{f['name']}` string" for f in fields)
-    raw = spark.read.option("header", True).schema(all_string).csv(csv_path)
+    # multiLine: string fields containing a newline are RFC-4180-quoted
+    # by Spark's writer and span physical lines; without it the reader
+    # splits mid-field (r10). Packages are small hourly artifacts, so
+    # the unsplittable-file cost of multiLine is irrelevant here.
+    raw = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .schema(all_string)
+        .csv(csv_path)
+    )
     return raw.select(
         *[F.col(f["name"]).cast(f["type"]).alias(f["name"]) for f in fields]
     )

