@@ -118,3 +118,17 @@ def test_bench_summary_line_under_400b():
     )
     line = json.dumps(payload, separators=(",", ":"))
     assert len(line.encode()) < 400, f"{len(line.encode())} bytes: {line}"
+    # additions-only contract: the five pre-r10 summary keys must never
+    # leave the map (PERF's round-over-round common set), and the two
+    # r10 scaling-probe rows must stay (VERDICT r9 #3)
+    assert set(bench.HEADLINE) >= {
+        "flat_export",
+        "pricing_summary",
+        "first_last_durations",
+        "time_window_halfopen",
+        "customers_with_open_orders",
+        "stride_dag_convergence",
+        "package_hourly_loop_invariance",
+    }
+    # contract fields all present on the summary line
+    assert {"metric", "value", "unit", "sf", "n_queries", "queries", "canary"} <= set(payload)
