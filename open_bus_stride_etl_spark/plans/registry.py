@@ -336,20 +336,39 @@ _DEMOTE_LAST = [
     # item-2 twin swap (dedup_groups_cc -> tail: its oracle chain stays,
     # production width holds the in-window slot) and the 12 freshest
     # double-greens — the r4-stale queries re-verified in r7, each with
-    # an in-window family twin:
+    # an in-window family twin.
+    # --- Round-10 rotation (VERDICT r9 item 7): the pre-declared debt
+    # was PAID — the d7-era tail verdicts (ann_ivf_topk one-shot + the
+    # eleven d4+d7 double-greens: geodesic_agreement, tokenize_vocab_ids,
+    # epoch_upsample_mix, training_shard_order, streaming_ride_tracker,
+    # streaming_enriched_events, streaming_hourly_distinct_users,
+    # group_day_type, computed_key_join, moving_avg_frame,
+    # dedup_embedding_cosine) are back in the window for re-verification.
+    # The two VERDICT-named true twins (customers_with_open_orders /
+    # customers_without_orders — anti/semi families quadruple-green)
+    # are DEMOTED-with-COVERED_BY rather than retired: retirement would
+    # REMOVE bench `queries` entries (customers_with_open_orders is one
+    # of the five summary-line keys the driver's PERF common-set
+    # comparison reads), which the optimization-round bench contract
+    # forbids ("additions only") and VERDICT item 3 itself requires
+    # keeping. Same window effect, zero contract risk. The other ten
+    # slots came from the freshest in-window multi-greens, each with an
+    # in-window family twin (several covers repointed to the promoted
+    # rows — computed_key_join, geodesic_agreement,
+    # streaming_ride_tracker now HOLD families their promotions vacate):
     "dedup_groups_cc",  # d2-d7 multi-green; 32-bit oracle-chain twin of dedup_groups_cc60 (VERDICT r7 item 2 swap)
-    "geodesic_agreement",  # d4+d7; haversine/geodesic geo-distance family via nearest_point_per_user
-    "tokenize_vocab_ids",  # d4+d7; tokenize_with_vocab contract verified verbatim inside shard_export_invariance (shared _SQL_TOKENIZE CTE)
-    "epoch_upsample_mix",  # d4+d7; salted md5-bucket stream family via balanced_corpus
-    "training_shard_order",  # d4+d7; shard_shuffle (bucket-then-rank) contract verified inside shard_export_invariance
-    "streaming_ride_tracker",  # d4+d7; keyed stateful streaming tracker family via streaming_user_first_last
-    "streaming_enriched_events",  # d4+d7; streaming join family via streaming_click_purchase_join
-    "streaming_hourly_distinct_users",  # d4+d7; hourly windowed agg via streaming_hourly_events; distinct accumulation via term_df_top20
-    "group_day_type",  # d4+d7; multi-key grouped agg family via pricing_summary
-    "computed_key_join",  # d4+d7; derived-key equi-join family via code_date_dim_join
-    "moving_avg_frame",  # d4+d7; window frame aggregate family via running_min (promoted r8)
-    "dedup_embedding_cosine",  # d2-d4+d7; embedding near-dup family via semdedup_scaled_pairs
-    "ann_ivf_topk",  # d7; IVF train+probe ⊂ ann_ivf_persisted_topk's persisted lifecycle (promoted r8)
+    "customers_without_orders",  # d1-d6+d9 multi-green; anti-join family via ledger_missing_dates (left-anti missing-key detection)
+    "customers_with_open_orders",  # d1-d6+d9 multi-green; semi-join family via dedup_minhash_lsh's member left-semi prune (also a bench summary key — stays registered)
+    "semdedup_pairs",  # d6+d9; fixed-k=32 oracle-chain twin of semdedup_scaled_pairs (production scaled-k rule in-window)
+    "dedup_simhash_hamming",  # d6+d9; 32-bit oracle-chain twin of dedup_simhash60 (production width in-window)
+    "left_band_join",  # d6+d9; band-predicate join family via banded_priority_match
+    "distinct_set_per_day",  # d6+d9; distinct-accumulation aggregate family via term_df_top20
+    "completeness_ratio",  # d6+d9; the 90%-completeness gate runs IN-TASK in ride_aggregation_ledger_invariance
+    "rollup_revenue",  # d6+d9; rollup-the-aggregated family via ride_aggregation_ledger_invariance's by_hour rollup
+    "enrich_update_guarded",  # multi-green; guarded enrichment updates run as REAL tasks inside stride_dag_convergence
+    "nearest_point_per_user",  # multi-green; argmin geo-distance family via geodesic_agreement (promoted r10)
+    "code_date_dim_join",  # multi-green; derived-key equi-join family via computed_key_join (promoted r10)
+    "streaming_user_first_last",  # multi-green; keyed stateful streaming family via streaming_ride_tracker (promoted r10)
     # --- r8 extension (the full stale sweep): the six r4-demoted rows
     # (dedup_exact_groups, stratified_sample_counts, doc_chunks, lang_id,
     # doc_fingerprints, dedup_ngram_jaccard) still carried r3-era
@@ -396,20 +415,21 @@ _DEMOTE_LAST = [
 # some past round (the rotation policy above).
 COVERED_BY = {
     # (rows for promoted/retired queries are removed with each rotation)
-    # r8 demotions:
+    # r8 demotions (still tail after r10):
     "dedup_groups_cc": "dedup_groups_cc60",  # same CC operator + banded candidate equi-join; production band width in-window
-    "geodesic_agreement": "nearest_point_per_user",  # haversine geo-distance family
-    "tokenize_vocab_ids": "shard_export_invariance",  # tokenize_with_vocab verified verbatim (shared _SQL_TOKENIZE CTE)
-    "epoch_upsample_mix": "balanced_corpus",  # salted md5-bucket membership stream family
-    "training_shard_order": "shard_export_invariance",  # shard_shuffle bucket-then-rank contract verified inside
-    "streaming_ride_tracker": "streaming_user_first_last",  # keyed stateful streaming tracker family
-    "streaming_enriched_events": "streaming_click_purchase_join",  # streaming join family (stream-static ⊂ stream-stream machinery)
-    "streaming_hourly_distinct_users": "streaming_watermark_late_drop",  # hourly event-time windowed aggregation family (repointed late-r9: streaming_hourly_events demoted)
-    "group_day_type": "pricing_summary",  # multi-key grouped aggregation family
-    "computed_key_join": "code_date_dim_join",  # derived-key equi-join family
-    "moving_avg_frame": "quantile_quality_keep",  # window frame aggregate family (repointed r9: running_min demoted)
-    "dedup_embedding_cosine": "semdedup_scaled_pairs",  # embedding near-dup (sign-LSH + blocked matmul) family
-    "ann_ivf_topk": "ann_ivf_persisted_topk",  # IVF train+probe ⊂ the persisted index lifecycle
+    # r10 demotions (slots for the 12 d7-era re-promotions):
+    "customers_without_orders": "ledger_missing_dates",  # left-anti missing-key detection family (J9)
+    "customers_with_open_orders": "dedup_minhash_lsh",  # left-semi membership prune family (J10; the member prune is a left_semi on doc ids)
+    "semdedup_pairs": "semdedup_scaled_pairs",  # fixed-k oracle-chain twin; scaled-k production rule in-window
+    "dedup_simhash_hamming": "dedup_simhash60",  # 32-bit oracle-chain twin; production 60-bit width in-window
+    "left_band_join": "banded_priority_match",  # band-predicate (non-equi range) join family
+    "distinct_set_per_day": "term_df_top20",  # distinct-accumulation aggregation family (per-key distinct counts)
+    "completeness_ratio": "ride_aggregation_ledger_invariance",  # the 90%-completeness gate is enforced in-task there
+    "rollup_revenue": "ride_aggregation_ledger_invariance",  # rollup-the-aggregated (sum/min/max regrouping) runs in-task there
+    "enrich_update_guarded": "stride_dag_convergence",  # guarded enrichment updates run as REAL tasks in the DAG chain
+    "nearest_point_per_user": "geodesic_agreement",  # argmin geo-distance (haversine) family
+    "code_date_dim_join": "computed_key_join",  # derived-key equi-join family
+    "streaming_user_first_last": "streaming_ride_tracker",  # keyed stateful streaming tracker family
     # r8 stale-sweep demotions (reverse twin swaps with the six promotions):
     "content_hash": "compact_roundtrip_hash",  # F14 order-insensitive content hash computed in-query there (same row_md5/hex_to_long kernel)
     "reservoir_per_user": "balanced_corpus",  # md5-bucket membership core (repointed r9: stratified_sample_counts demoted)
@@ -424,7 +444,7 @@ COVERED_BY = {
     "running_min": "quantile_quality_keep",  # window frame aggregate (cumulative histogram core)
     "first_last_by_seq": "first_last_durations",  # first/last endpoint family
     "streaming_dedup_exact": "streaming_dedup_lsh",  # streaming dedup-vs-index family (near-dup superset in-window)
-    "streaming_upsert_snapshot": "streaming_user_first_last",  # keyed latest-state streaming aggregate
+    "streaming_upsert_snapshot": "streaming_ride_tracker",  # keyed latest-state streaming aggregate (repointed r10: streaming_user_first_last demoted)
     "dedup_incremental": "streaming_dedup_lsh",  # seen-index probe join (exact anti-join ⊂ band-bucket probe; also run by curate_incremental_noop's task)
     "dedup_exact_groups": "split_leakage_check",  # exact-fingerprint components (fingerprint -> min-doc_id groupBy) built in-query there
     "stratified_sample_counts": "balanced_corpus",  # salted md5-bucket membership streams
