@@ -377,6 +377,24 @@ def minhash_lsh_pairs(
             on="doc_b",
             how="left_semi",
         )
+    return _verified_jaccard(docs, pairs, id_col, text_col, k, max_broadcast_pairs)
+
+
+def _verified_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    max_broadcast_pairs: int | None,
+) -> DataFrame:
+    """The exact-Jaccard verify tail shared by ``minhash_lsh_pairs`` and
+    ``minhash_lsh_pairs_from_buckets``: candidate pairs → member prune →
+    member re-shingle → intersection/size joins → jaccard_bp. Factored
+    out verbatim in r10 (plan shape unchanged — the guarded-broadcast
+    doctrine, the persist/count materialization order and the
+    pre-explosion member semi-join are all documented on
+    ``minhash_lsh_pairs``)."""
     cands = track_persist(pairs)
     if max_broadcast_pairs is None:
         bc = F.broadcast
@@ -422,6 +440,91 @@ def minhash_lsh_pairs(
             .alias("jaccard_bp"),
         )
     )
+
+
+def minhash_band_buckets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """``(id, bucket)`` for every doc — the full MinHash → LSH banding
+    stage as a standalone frame, in the PERSISTED-INDEX row format (the
+    exact subtree ``minhash_lsh_pairs`` derives internally: raw
+    duplicate-preserving shingle stream → 8 MIN permutations → 4 band
+    buckets). A curate-style task materializes this once per doc into an
+    append-only band index and probes it on later runs
+    (``minhash_lsh_pairs_from_buckets``) instead of re-aggregating
+    signatures over the whole corpus."""
+    raw = _shingled(docs, id_col, text_col, k, distinct=False)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return band_buckets(raw.groupBy(id_col).agg(*aggs), id_col)
+
+
+def minhash_lsh_pairs_from_buckets(
+    docs: DataFrame,
+    buckets: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_broadcast_pairs: int | None = 5_000_000,
+    b_ids: DataFrame | None = None,
+    max_broadcast_probe: int | None = 5_000_000,
+    probe_rows: int | None = None,
+) -> DataFrame:
+    """``minhash_lsh_pairs`` computed from a PRE-MATERIALIZED
+    ``(id, bucket)`` table covering the whole corpus (r10, VERDICT r9
+    #1 — the amortized band-index path): candidate generation is an
+    equi-join over the materialized bucket table, with NO full-corpus
+    shingle/MinHash signature aggregation anywhere in the plan. Returns
+    exactly the rows ``minhash_lsh_pairs(docs, b_ids=b_ids)`` returns
+    PROVIDED ``buckets`` equals ``minhash_band_buckets(docs)`` row-set-
+    wise (duplicate index rows are harmless — the pair ``distinct()``
+    absorbs them; missing or stale rows are NOT, which is why the
+    curate task validity-filters its index against the current corpus's
+    fingerprints before calling this).
+
+    Probe shape: the b-side is the bucket rows of ``b_ids`` docs
+    (fetched FROM the index via a semi-join — never recomputed from
+    text: ``b_ids`` carries every never-seen doc, incl. all prior LSH
+    losers, so re-shingling it would be O(non-survivors), not
+    O(batch)). The b-side is persisted and counted (the
+    ``max_broadcast_pairs`` guard doctrine): when it fits, it
+    broadcasts into the probe join so the corpus-sized index is
+    SCANNED but never SHUFFLED — the steady-state incremental run's
+    only full-corpus touch is one slim columnar scan. A degenerate
+    (huge-batch / bootstrap-sized) b-side drops the hint and AQE falls
+    back to a shuffle join, same rows.
+
+    ``probe_rows``: the caller's exact (or upper-bound) b-side row
+    count, when it already knows it — the curate task reads the unseen
+    doc count off the flags aggregation it runs anyway, and the b-side
+    is 4 band rows per unseen doc — which skips this function's own
+    persist+count sizing job (measured: the count job was most of the
+    index path's fixed overhead at small scale)."""
+    a = buckets.select(F.col(id_col).alias("doc_a"), "bucket")
+    if b_ids is not None:
+        probe = buckets.join(
+            b_ids.select(id_col).distinct(), on=id_col, how="left_semi"
+        )
+    else:
+        probe = buckets
+    probe = probe.select(F.col(id_col).alias("doc_b"), "bucket")
+    if max_broadcast_probe is None:
+        pb = F.broadcast
+    elif probe_rows is not None:
+        pb = F.broadcast if probe_rows <= max_broadcast_probe else (lambda df: df)
+    else:
+        probe = track_persist(probe)
+        n_probe = probe.count()  # materializes the persist; sizes the hint
+        pb = F.broadcast if n_probe <= max_broadcast_probe else (lambda df: df)
+    pairs = (
+        a.join(pb(probe), on="bucket")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verified_jaccard(docs, pairs, id_col, text_col, k, max_broadcast_pairs)
 
 
 def _local_cc_finish(edges: DataFrame) -> DataFrame:

@@ -27,6 +27,79 @@ from ..session import configure
 from .tasks import task
 
 
+def _indexed_lsh_pairs(
+    spark: SparkSession,
+    docs: DataFrame,
+    history_dir: str,
+    b_ids: DataFrame,
+    cur: DataFrame,
+    probe_rows: int | None = None,
+) -> DataFrame:
+    """Incremental LSH pairs via the AMORTIZED persisted band-bucket
+    index (r10, VERDICT r9 #1): ``{history_dir}/lsh_band_index.parquet``
+    holds one ``(doc_id, fp, bucket)`` row per band per ever-indexed
+    doc. Each incremental run tops the index up with the docs it does
+    not validly cover (one signature aggregation over THOSE docs only —
+    the full corpus is signed exactly once across the task's lifetime,
+    never rebuilt) and probes batch-vs-index, so the steady-state run's
+    only full-corpus work is one slim columnar scan of the index.
+
+    Exactness: an index row is USED only when its ``fp`` (the task's
+    md5 content fingerprint — the same text-identity the seen-index and
+    exact-dup keeper already rely on) matches the doc's CURRENT
+    fingerprint in ``cur``, so removed docs, changed text, and stale
+    rows are invisible; after the top-up every current doc has a valid
+    row, making the validity-filtered index row-set-equal to
+    ``minhash_band_buckets(docs)`` — the precondition under which
+    ``minhash_lsh_pairs_from_buckets`` returns exactly
+    ``minhash_lsh_pairs(docs, b_ids=b_ids)``'s rows (pinned by
+    tests/test_llm_ops.py::test_lsh_pairs_from_buckets_*). The index is
+    append-only (a crash-replayed append at worst duplicates rows,
+    which the candidate ``distinct()`` absorbs); compaction of stale
+    rows is the deployment's lake-compaction concern, like every other
+    append artifact here."""
+    import os  # noqa: PLC0415
+
+    from ..operators.util import track_persist  # noqa: PLC0415
+
+    idx_path = f"{history_dir}/lsh_band_index.parquet"
+    if os.path.isdir(idx_path):
+        existing = spark.read.parquet(idx_path)
+        # ONE corpus-scale validity join per run (the first cut ran it
+        # per consumer — three corpus-sized joins; measured the whole
+        # win away at sf10): the valid row set is persisted, and the
+        # top-up anti-join, the candidate a-side and the probe b-side
+        # all read the cache.
+        valid = track_persist(
+            existing.select("doc_id", F.col("fp").alias("_fp"), "bucket")
+            .join(cur, on=["doc_id", "_fp"], how="left_semi")
+            .select("doc_id", "bucket")
+        )
+        new_docs = docs.join(
+            valid.select("doc_id").distinct(), on="doc_id", how="left_anti"
+        )
+    else:
+        valid = None
+        new_docs = docs  # bootstrap: first incremental run signs everything once
+    os.makedirs(history_dir, exist_ok=True)
+    # The batch's new buckets are computed ONCE (eager localCheckpoint):
+    # the index append writes from the checkpoint and the probe union
+    # reads it — no re-read of the just-written files, no second
+    # signature pass over the batch.
+    new_buckets = (
+        dd.minhash_band_buckets(new_docs)
+        .join(cur, on="doc_id")
+        .select("doc_id", F.col("_fp").alias("fp"), "bucket")
+        .localCheckpoint(eager=True)
+    )
+    new_buckets.write.mode("append").parquet(idx_path)
+    nb = new_buckets.select("doc_id", "bucket")
+    buckets_now = nb if valid is None else valid.unionByName(nb)
+    return dd.minhash_lsh_pairs_from_buckets(
+        docs, buckets_now, b_ids=b_ids, probe_rows=probe_rows
+    )
+
+
 def _load_docs(spark: SparkSession, base_dir: str, input_format: str) -> DataFrame:
     configure(spark)
     if input_format == "jsonl":
@@ -43,6 +116,7 @@ def _load_docs(spark: SparkSession, base_dir: str, input_format: str) -> DataFra
     jaccard_min_bp=5000,
     langs="en,und",
     input_format="parquet",
+    band_index=True,
 )
 def llm_curate_corpus(
     spark: SparkSession,
@@ -53,6 +127,7 @@ def llm_curate_corpus(
     input_format: str = "parquet",
     out_dir: str | None = None,
     history_dir: str | None = None,
+    band_index: bool = True,
 ) -> dict:
     """Curate ``{base_dir}/documents.parquet`` (or ``documents_jsonl/``)
     into ``{out_dir or base_dir/curated_documents}``: quality floor,
@@ -63,8 +138,12 @@ def llm_curate_corpus(
     Scale notes: the flag aggregation is one map-combined pass over the
     scored scan; the only full-corpus shuffles are the exact-dup
     fingerprint window and the LSH pipeline's signature aggregate (the
-    flattened `minhash_lsh_pairs` plan); the final write streams the
-    survivor rows — nothing collects to the driver but the metric
+    flattened `minhash_lsh_pairs` plan) — and on INCREMENTAL runs with
+    ``band_index`` (the default) even that disappears: signatures are
+    read from the amortized persisted band-bucket index in
+    ``history_dir`` (see ``_indexed_lsh_pairs``; each doc is signed
+    exactly once across the task's lifetime). The final write streams
+    the survivor rows — nothing collects to the driver but the metric
     scalars."""
     allow = [s.strip() for s in langs.split(",") if s.strip()]
     docs = _load_docs(spark, base_dir, input_format)
@@ -132,8 +211,13 @@ def llm_curate_corpus(
             F.count(F.when(ok_quality & ok_lang & keeper & ~seen_flag, 1)).alias(
                 "n_remaining"
             ),
+            # unseen-doc count rides the same pass: it sizes the band
+            # index probe's broadcast decision (4 band rows per unseen
+            # doc), sparing _indexed_lsh_pairs its own count job (r10)
+            F.count(F.when(~seen_flag, 1)).alias("n_unseen"),
         ).collect()[0]
         n_remaining = flags["n_remaining"]
+        n_unseen = flags["n_unseen"]
         n_seen_dropped = flags["n_after_exact"] - n_remaining
         scored = scored.join(
             seen.select(F.col("fingerprint").alias("_fp")), on="_fp", how="left_anti"
@@ -176,22 +260,51 @@ def llm_curate_corpus(
         # the fingerprint window. Losers outside the kept set never
         # survive the anti-join below anyway, so survivors are
         # identical either way.
+        #
+        # With ``band_index`` (r10, the default) the candidate a-side
+        # comes from the persisted band-bucket index in history_dir
+        # (_indexed_lsh_pairs) instead of a fresh full-corpus signature
+        # aggregation — the amortized O(batch)-signing shape. The first
+        # run (seen is None) keeps the in-plan minhash_lsh_pairs
+        # pipeline unchanged (bootstrap happens on the FIRST incremental
+        # LSH run, which must sign the backlog once either way);
+        # band_index=False keeps the r9 recompute-per-run path for
+        # callers that don't want index storage.
+        pairs_src = None
         b_ids = None
         if seen is not None:
-            b_ids = (
-                docs.select(
-                    "doc_id", tx.doc_fingerprint(F.col("text")).alias("_fp")
+            if band_index:
+                from ..operators.util import track_persist  # noqa: PLC0415
+
+                cur = track_persist(
+                    docs.select(
+                        "doc_id", tx.doc_fingerprint(F.col("text")).alias("_fp")
+                    )
                 )
-                .join(
+                b_ids = cur.join(
                     seen.select(F.col("fingerprint").alias("_fp")),
                     on="_fp",
                     how="left_anti",
+                ).select("doc_id")
+                pairs_src = _indexed_lsh_pairs(
+                    spark, docs, history_dir, b_ids, cur, probe_rows=4 * n_unseen
                 )
-                .select("doc_id")
-            )
+            else:
+                b_ids = (
+                    docs.select(
+                        "doc_id", tx.doc_fingerprint(F.col("text")).alias("_fp")
+                    )
+                    .join(
+                        seen.select(F.col("fingerprint").alias("_fp")),
+                        on="_fp",
+                        how="left_anti",
+                    )
+                    .select("doc_id")
+                )
+        if pairs_src is None:
+            pairs_src = dd.minhash_lsh_pairs(docs, b_ids=b_ids)
         near_dup_losers = (
-            dd.minhash_lsh_pairs(docs, b_ids=b_ids)
-            .where(F.col("jaccard_bp") >= jaccard_min_bp)
+            pairs_src.where(F.col("jaccard_bp") >= jaccard_min_bp)
             .select(F.col("doc_b").alias("doc_id"))
             .distinct()
         )

@@ -97,6 +97,67 @@ def test_minhash_lsh_pairs_b_ids_restriction(spark):
     assert any(b not in (4, 5) for _a, b in full)  # restriction is real
 
 
+def test_lsh_pairs_from_buckets_equals_full(spark):
+    """The amortized band-index path (r10): given a materialized bucket
+    table equal to minhash_band_buckets(docs), the from_buckets operator
+    returns EXACTLY minhash_lsh_pairs' rows — unrestricted and with the
+    b_ids restriction — and duplicate index rows (crash-replayed
+    appends) change nothing."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog tonight"),
+            Row(doc_id=3, text="an entirely different document about spark pipelines"),
+            Row(doc_id=4, text="an entirely different document about spark pipelines"),
+            Row(doc_id=5, text="the quick brown fox jumps over the lazy dog today"),
+        ]
+    )
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_bp"]
+        for r in dd.minhash_lsh_pairs(docs).collect()
+    }
+    buckets = dd.minhash_band_buckets(docs)
+    from_idx = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_bp"]
+        for r in dd.minhash_lsh_pairs_from_buckets(docs, buckets).collect()
+    }
+    assert from_idx == full and full
+
+    b_ids = spark.createDataFrame([Row(doc_id=4), Row(doc_id=5)])
+    from_idx_b = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_bp"]
+        for r in dd.minhash_lsh_pairs_from_buckets(docs, buckets, b_ids=b_ids).collect()
+    }
+    assert from_idx_b == {p: j for p, j in full.items() if p[1] in (4, 5)}
+
+    # duplicated rows (replayed append) are absorbed by the pair distinct
+    dup = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_bp"]
+        for r in dd.minhash_lsh_pairs_from_buckets(
+            docs, buckets.unionByName(buckets)
+        ).collect()
+    }
+    assert dup == full
+
+    # the tiny-probe broadcast guard and the shuffle fallback agree
+    no_bc = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_bp"]
+        for r in dd.minhash_lsh_pairs_from_buckets(
+            docs, buckets, b_ids=b_ids, max_broadcast_probe=0
+        ).collect()
+    }
+    assert no_bc == from_idx_b
+
+    # caller-supplied probe size (skips the sizing count job) agrees too
+    sized = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_bp"]
+        for r in dd.minhash_lsh_pairs_from_buckets(
+            docs, buckets, b_ids=b_ids, probe_rows=8
+        ).collect()
+    }
+    assert sized == from_idx_b
+
+
 def test_shingle_count_exact(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="w1 w2 w3 w4"), Row(doc_id=2, text="w1 w2")])
     out = df.withColumn("_w", F.split(tx.normalize_text(F.col("text")), " ")).select(

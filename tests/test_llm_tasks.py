@@ -294,3 +294,105 @@ def test_stream_ingest_dedup_replay_excludes_own_partition(spark, tmp_path):
     assert m["n_novel"] == 1, "replayed batch suppressed by its own index partition"
     out = spark.read.parquet(m["out_dir"])
     assert [r["doc_id"] for r in out.collect()] == [10]
+
+
+def test_curate_band_index_matches_recompute_path(spark, lake, tmp_path):
+    """The amortized persisted band-bucket index (r10, VERDICT r9 #1)
+    yields bit-identical metrics and artifacts to the r9
+    recompute-per-run path across incremental generations that ADD,
+    REMOVE and REWRITE documents — the mutation cases the index's
+    fingerprint validity filter exists for. Also pins the amortization
+    contract: once a doc is validly indexed its signature is never
+    recomputed (the index is topped up, not rebuilt)."""
+    import shutil
+
+    from pyspark.sql import Row as R
+
+    def snap(src, dst):
+        shutil.copytree(src, dst)
+        return dst
+
+    hist = str(tmp_path / "hist")
+    m1 = run_task(
+        spark, "llm-curate-corpus", base_dir=lake,
+        out_dir=str(tmp_path / "o1"), history_dir=hist,
+    )
+    assert m1["n_final"] > 0
+    import os
+
+    # run 1 (seen empty) keeps the in-plan pipeline: no index yet
+    assert not os.path.isdir(f"{hist}/lsh_band_index.parquet")
+    hist_b = snap(hist, str(tmp_path / "hist_b"))  # recompute-path twin
+
+    # generation 2: new docs (one near-dup of doc 1, one fresh), doc 3
+    # removed, doc 5 rewritten in place (same id, new text)
+    base2 = str(tmp_path / "lake2")
+    d1 = spark.read.parquet(f"{lake}/documents.parquet")
+    g2 = (
+        d1.where(~F.col("doc_id").isin(3))
+        .where(F.col("doc_id") != 5)
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    R(doc_id=5, source="web", lang="en",
+                      text="rewritten body about harbors and lighthouses guiding "
+                           "ships safely home through the foggy night waters"),
+                    R(doc_id=6, source="web", lang="en",
+                      text=GOOD + " with a small appended tail"),
+                    R(doc_id=7, source="web", lang="en",
+                      text="completely fresh sentence about rivers and mountains "
+                           "flowing under the bright morning sun while travelers "
+                           "walk the long road"),
+                ]
+            )
+        )
+    )
+    g2.write.parquet(f"{base2}/documents.parquet")
+
+    m2a = run_task(
+        spark, "llm-curate-corpus", base_dir=base2,
+        out_dir=str(tmp_path / "o2a"), history_dir=hist,  # index path (bootstrap)
+    )
+    m2b = run_task(
+        spark, "llm-curate-corpus", base_dir=base2,
+        out_dir=str(tmp_path / "o2b"), history_dir=hist_b, band_index=False,
+    )
+    drop = ("elapsed_sec", "out_dir")
+
+    def core(m):
+        return {k: v for k, v in m.items() if k not in drop}
+
+    assert core(m2a) == core(m2b)
+    assert sorted(map(tuple, spark.read.parquet(str(tmp_path / "o2a")).collect())) == \
+           sorted(map(tuple, spark.read.parquet(str(tmp_path / "o2b")).collect()))
+    idx_path = f"{hist}/lsh_band_index.parquet"
+    assert os.path.isdir(idx_path)
+    idx_g2 = spark.read.parquet(idx_path)
+    n_idx_g2 = idx_g2.count()
+    # bootstrap signed the whole generation-2 corpus (4 bands per doc)
+    assert n_idx_g2 == g2.count() * 4
+
+    # generation 3: one more near-dup arrives; doc 7 is removed again
+    base3 = str(tmp_path / "lake3")
+    g3 = g2.where(F.col("doc_id") != 7).unionByName(
+        spark.createDataFrame(
+            [R(doc_id=8, source="web", lang="en",
+               text=GOOD + " with a different appended tail")]
+        )
+    )
+    g3.write.parquet(f"{base3}/documents.parquet")
+    m3a = run_task(
+        spark, "llm-curate-corpus", base_dir=base3,
+        out_dir=str(tmp_path / "o3a"), history_dir=hist,  # steady-state probe
+    )
+    m3b = run_task(
+        spark, "llm-curate-corpus", base_dir=base3,
+        out_dir=str(tmp_path / "o3b"), history_dir=hist_b, band_index=False,
+    )
+    assert core(m3a) == core(m3b)
+    assert sorted(map(tuple, spark.read.parquet(str(tmp_path / "o3a")).collect())) == \
+           sorted(map(tuple, spark.read.parquet(str(tmp_path / "o3b")).collect()))
+    # amortization: only the ONE genuinely new doc was signed this run
+    # (doc 7's stale rows remain on disk, invisible behind the validity
+    # filter; nothing was re-signed)
+    assert spark.read.parquet(idx_path).count() == n_idx_g2 + 4
