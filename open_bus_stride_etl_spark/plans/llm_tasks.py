@@ -100,6 +100,9 @@ def _indexed_lsh_pairs(
     )
 
 
+_PERSIST_SCORED = False
+
+
 def _load_docs(spark: SparkSession, base_dir: str, input_format: str) -> DataFrame:
     configure(spark)
     if input_format == "jsonl":
@@ -196,6 +199,15 @@ def llm_curate_corpus(
     ]
     obs_flags = None
     if seen is not None:
+        if _PERSIST_SCORED:
+            # measure-only toggle (VERDICT r9 #2): cache the scored
+            # full-text corpus so the flags aggregation and the write
+            # derivation share one scoring pass — flipped by
+            # tools/probe_scored.py's paired A/B; see the probe verdict
+            # in OPTIMIZATION_r10.md before trusting either default.
+            from ..operators.util import track_persist  # noqa: PLC0415
+
+            scored = track_persist(scored)
         fl = scored.join(
             seen.select(F.col("fingerprint").alias("_fp")).distinct().withColumn(
                 "_seen", F.lit(1)
