@@ -102,6 +102,9 @@ def main() -> int:
 
     spark = build_session("oracle-check")
     con = connect_spillable()
+    # Pin the DuckDB session timezone so TIMESTAMPTZ handling never
+    # depends on the box (and matches Spark's UTC-pinned session).
+    con.execute("SET TimeZone = 'UTC'")
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings".split()
     ):
@@ -109,7 +112,27 @@ def main() -> int:
         # just the tables a targeted probe needs; register what exists and
         # let a query that references a missing table fail on its own.
         if os.path.exists(f"{sf_dir}/{t}.parquet"):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            # Corpora regenerated since r9 write timestamps as parquet
+            # INT64 micros with isAdjustedToUTC=true (session.py; the
+            # driver's shipped testdata is TIMESTAMP(NANOS)). DuckDB
+            # reads the former as TIMESTAMPTZ, whose tz-aware values
+            # stringify/compare differently from Spark's naive-UTC
+            # instants — every timestamp row "differed" at the r10 sf1
+            # gate until the views normalized them. CAST to TIMESTAMP
+            # under the UTC session = a pure relabel of the same
+            # instant; NANOS columns are untouched.
+            cols = con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            ).fetchall()
+            sel = ", ".join(
+                f'CAST("{c}" AS TIMESTAMP) AS "{c}"'
+                if str(ct).upper() == "TIMESTAMP WITH TIME ZONE"
+                else f'"{c}"'
+                for c, ct, *_ in cols
+            )
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT {sel} FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     n_pass = n_fail = 0
